@@ -1,38 +1,495 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG-construction query on sf0.001.
+``queries()`` — one entry per implemented operator (SURVEY.md §2).
+``oracle_sql()`` — DuckDB-equivalent SQL for the SQL-expressible ones.
+
+Column names are aliased identically on both sides; doubles are rounded
+before comparison (Spark/DuckDB render & accumulate differently).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
+from redisgraph_bulk_loader_spark.functions.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from redisgraph_bulk_loader_spark.ids import assign_dense_ids, build_node_registry
+from redisgraph_bulk_loader_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from redisgraph_bulk_loader_spark.operators.endpoints import resolve_endpoints
+from redisgraph_bulk_loader_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from redisgraph_bulk_loader_spark.operators.skew import two_phase_count
+from redisgraph_bulk_loader_spark.streaming.stream import sessionize_events
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# entry: flagship query at sf0.001
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: build a small KG from the star schema (customers and
+    suppliers as nodes, customer->nation residence edges), resolve
+    endpoints through the dense node registry, and aggregate triples
+    per nation — exercises registry build, dense IDs, broadcast
+    endpoint join, and skew-safe counting in one plan."""
+    sf_dir = "/root/testdata/sf0.001"
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+
+    nodes = (
+        customer.select(F.concat(F.lit("c"), "c_custkey").alias("ext_id"),
+                        F.lit("customer").alias("label"))
+        .unionByName(
+            supplier.select(F.concat(F.lit("s"), "s_suppkey").alias("ext_id"),
+                            F.lit("supplier").alias("label"))
+        )
+        .unionByName(
+            nation.select(F.concat(F.lit("n"), "n_nationkey").alias("ext_id"),
+                          F.lit("nation").alias("label"))
+        )
+    )
+    registry = build_node_registry(nodes, ["ext_id"], ["label", "ext_id"])
+    edges = customer.select(
+        F.concat(F.lit("c"), "c_custkey").alias("src_id"),
+        F.concat(F.lit("n"), "c_nationkey").alias("dst_id"),
+        F.lit("LIVES_IN").alias("rel_type"),
+    ).unionByName(
+        supplier.select(
+            F.concat(F.lit("s"), "s_suppkey").alias("src_id"),
+            F.concat(F.lit("n"), "s_nationkey").alias("dst_id"),
+            F.lit("BASED_IN").alias("rel_type"),
+        )
+    )
+    resolved = resolve_endpoints(edges, registry, skip_invalid=False)
+    return (
+        resolved.join(
+            F.broadcast(nation.select(
+                F.concat(F.lit("n"), "n_nationkey").alias("dst_id"), "n_name")),
+            "dst_id",
+        )
+        .groupBy("n_name", "rel_type")
+        .agg(F.count("*").alias("n_edges"))
+        .orderBy("n_name", "rel_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_kg_triples(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    return customer.join(F.broadcast(nation),
+                         customer.c_nationkey == nation.n_nationkey).select(
+        F.col("c_name").alias("subj"),
+        F.lit("IN_NATION").alias("pred"),
+        F.col("n_name").alias("obj"),
+    )
+
+
+def _q_kg_node_ids(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nodes = customer.select(
+        F.col("c_name").alias("ext_id"), F.lit("customer").alias("label")
+    ).unionByName(
+        supplier.select(F.col("s_name").alias("ext_id"),
+                        F.lit("supplier").alias("label"))
+    )
+    return assign_dense_ids(nodes, ["label", "ext_id"]).select(
+        "label", "ext_id", "internal_id"
+    )
+
+
+def _q_kg_endpoint_resolution(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    registry = build_node_registry(
+        customer.select(F.col("c_custkey").cast("string").alias("ext_id")),
+        ["ext_id"],
+        ["ext_id"],
+    )
+    # order->customer edges; self-loop dst (order keyed to same customer)
+    edges = orders.select(
+        F.col("o_custkey").cast("string").alias("src_id"),
+        F.col("o_custkey").cast("string").alias("dst_id"),
+        F.col("o_orderkey").alias("edge_key"),
+    )
+    return resolve_endpoints(edges, registry, skip_invalid=True).select(
+        "edge_key", "src_internal", "dst_internal"
+    )
+
+
+def _q_kg_invalid_edges(spark, sf_dir):
+    """Anti-join: edges whose endpoint is missing from a filtered
+    registry (reference skip_invalid_edges accounting)."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    registry = customer.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("ext_id")
+    )
+    return (
+        orders.join(registry, orders.o_custkey == registry.ext_id, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n_dropped"))
+    )
+
+
+def _q_kg_pred_counts(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return two_phase_count(orders, ["o_orderstatus"], count_col="n")
+
+
+def _q_kg_last_wins(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    return (
+        orders.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("o_custkey", F.col("o_orderkey").alias("latest_orderkey"))
+    )
+
+
+def _q_kg_ns_prefix(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    return customer.select(
+        F.concat_ws(".", F.lit("CUST"), F.col("c_custkey")).alias("ns_id"),
+        F.col("c_name").alias("name"),
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_doc_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_calc"),
+    )
+
+
+def _q_doc_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+def _q_doc_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", language_id(F.col("text")).alias("lang_guess"))
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_fingerprint(F.col("text")).alias("fp"))
+
+
+def _q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text").select("doc_id")
+
+
+def _q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jsim"))
+
+
+def _q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.5).select(
+        "id_a", "id_b", F.round("jaccard_sim", 6).alias("jsim")
+    )
+
+
+def _q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dup_pairs(docs, "doc_id", "text", max_hamming=6).select(
+        "id_a", "id_b", "hamming"
+    )
+
+
+def _q_ann_brute_force(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    return brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _q_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    return lsh_bucketed_topk(emb, queries, k=5, bits=6, probe_bits=6).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
+def _q_events_sessionize(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    s = sessionize_events(events, gap_minutes=30)
+    return s.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def _q_events_windowed(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    return (
+        events.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("win_start"),
+            "event_type", "n", "sum_value",
+        )
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_triples": _q_kg_triples,
+        "kg_node_ids": _q_kg_node_ids,
+        "kg_endpoint_resolution": _q_kg_endpoint_resolution,
+        "kg_invalid_edges": _q_kg_invalid_edges,
+        "kg_pred_counts": _q_kg_pred_counts,
+        "kg_last_wins": _q_kg_last_wins,
+        "kg_ns_prefix": _q_kg_ns_prefix,
+        "tpch_q1": _q_tpch_q1,
+        "doc_tokens": _q_doc_tokens,
+        "doc_quality": _q_doc_quality,
+        "doc_langid": _q_doc_langid,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "dedup_exact": _q_dedup_exact,
+        "dedup_ngram_jaccard": _q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _q_dedup_minhash_lsh,
+        "dedup_simhash": _q_dedup_simhash,
+        "ann_brute_force": _q_ann_brute_force,
+        "ann_lsh": _q_ann_lsh,
+        "events_sessionize": _q_events_sessionize,
+        "events_windowed": _q_events_windowed,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL on the same parquet views)
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "['the','a','an','of','to','and','in','is','for','on','with','that','as','at','by','it']"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "kg_triples": """
+            SELECT c.c_name AS subj, 'IN_NATION' AS pred, n.n_name AS obj
+            FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        """,
+        "kg_node_ids": """
+            WITH nodes AS (
+              SELECT c_name AS ext_id, 'customer' AS label FROM customer
+              UNION ALL
+              SELECT s_name AS ext_id, 'supplier' AS label FROM supplier
+            )
+            SELECT label, ext_id,
+                   ROW_NUMBER() OVER (ORDER BY label, ext_id) - 1 AS internal_id
+            FROM nodes
+        """,
+        "kg_endpoint_resolution": """
+            WITH reg AS (
+              SELECT CAST(c_custkey AS VARCHAR) AS ext_id,
+                     ROW_NUMBER() OVER (ORDER BY CAST(c_custkey AS VARCHAR)) - 1
+                       AS internal_id
+              FROM customer
+            )
+            SELECT o.o_orderkey AS edge_key,
+                   r.internal_id AS src_internal,
+                   r.internal_id AS dst_internal
+            FROM orders o JOIN reg r ON CAST(o.o_custkey AS VARCHAR) = r.ext_id
+        """,
+        "kg_invalid_edges": """
+            SELECT o_orderstatus, COUNT(*) AS n_dropped
+            FROM orders o
+            WHERE NOT EXISTS (
+              SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 3 <> 0)
+            GROUP BY o_orderstatus
+        """,
+        "kg_pred_counts": """
+            SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus
+        """,
+        "kg_last_wins": """
+            SELECT o_custkey, o_orderkey AS latest_orderkey FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderkey DESC) AS rk
+              FROM orders) WHERE rk = 1
+        """,
+        "kg_ns_prefix": """
+            SELECT 'CUST.' || CAST(c_custkey AS VARCHAR) AS ns_id,
+                   c_name AS name
+            FROM customer
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 2) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+                     AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "doc_tokens": r"""
+            SELECT doc_id,
+                   CASE WHEN length(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END
+                     AS n_tokens,
+                   length(text) AS n_chars_calc
+            FROM documents
+        """,
+        "doc_quality": rf"""
+            SELECT doc_id, ROUND(
+              0.4 * (CASE WHEN length(trim(text)) > 0
+                     THEN CAST(length(regexp_replace(trim(text), '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                          / length(trim(text))
+                     ELSE 0.0 END)
+              + 0.3 * LEAST(length(trim(text)) / 500.0, 1.0)
+              + 0.3 * LEAST(
+                  len(list_intersect(
+                        string_split_regex(lower(trim(text)), '\s+'),
+                        {_STOPWORDS_SQL})) / 4.0, 1.0),
+              6) AS quality
+            FROM documents
+        """,
+        "doc_langid": r"""
+            SELECT doc_id,
+              CASE
+                WHEN CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)
+                     / GREATEST(length(text), 1) > 0.2 THEN 'zh'
+                WHEN CAST(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS DOUBLE)
+                     / GREATEST(length(text), 1) > 0.2 THEN 'ru'
+                WHEN CAST(length(regexp_replace(text, '[^Ͱ-Ͽ]', '', 'g')) AS DOUBLE)
+                     / GREATEST(length(text), 1) > 0.2 THEN 'el'
+                ELSE 'latin'
+              END AS lang_guess
+            FROM documents
+        """,
+        "doc_fingerprint": r"""
+            SELECT doc_id,
+                   md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents
+        """,
+        "dedup_exact": r"""
+            SELECT doc_id FROM (
+              SELECT doc_id, ROW_NUMBER() OVER (
+                PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                ORDER BY doc_id) AS rk
+              FROM documents) WHERE rk = 1
+        """,
+        "dedup_ngram_jaccard": r"""
+            WITH sh AS (
+              SELECT DISTINCT doc_id AS id, unnest(ngrams) AS sh FROM (
+                SELECT doc_id,
+                       list_distinct([
+                         array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)
+                       ]) AS ngrams
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(trim(text)), '\s+') AS toks
+                      FROM documents))
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            inter AS (
+              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+              GROUP BY a.id, b.id
+            )
+            SELECT id_a, id_b,
+                   ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jsim
+            FROM inter
+            JOIN sizes sa ON sa.id = id_a
+            JOIN sizes sb ON sb.id = id_b
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+        """,
+        "ann_brute_force": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id < 3),
+            c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+                  FROM embeddings),
+            scored AS (
+              SELECT q.query_id, c.neighbor_id,
+                     (SELECT SUM(x*y) FROM (SELECT unnest(q.qv) x, unnest(c.cv) y))
+                     / (sqrt((SELECT SUM(x*x) FROM (SELECT unnest(q.qv) x)))
+                        * sqrt((SELECT SUM(y*y) FROM (SELECT unnest(c.cv) y))))
+                       AS cs
+              FROM q, c WHERE q.query_id <> c.neighbor_id
+            )
+            SELECT query_id, neighbor_id, rank FROM (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cs DESC, neighbor_id) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "events_sessionize": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                     CASE WHEN LAG(ts) OVER w IS NULL
+                          OR epoch(ts) - epoch(LAG(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            )
+            SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+            FROM flagged GROUP BY user_id
+        """,
+        "events_windowed": """
+            SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts),
+                            '%Y-%m-%d %H:%M:%S') AS win_start,
+                   event_type, COUNT(*) AS n,
+                   ROUND(SUM(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+    }

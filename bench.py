@@ -1,0 +1,99 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Headline set:
+- kg_pipeline: full KG construction (synthesize spans docs scaled to
+  the sf's documents row count -> extract -> link -> canonicalize ->
+  ids -> edges -> triples materialized to /tmp) — the north-star job;
+  also reports docs/sec in the JSON extras.
+- representative operators over the sf tables: tpch_q1 aggregation,
+  minhash-LSH dedup, exact dedup, brute-force ANN, sessionization.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"rgbl-bench-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entrymod
+    from redisgraph_bulk_loader_spark.materialize import GraphCatalog
+    from redisgraph_bulk_loader_spark.plans import build_graph
+    from redisgraph_bulk_loader_spark.sources import (
+        alias_table,
+        synthesize_documents,
+    )
+
+    timings = {}
+    extras = {}
+
+    # --- kg_pipeline -------------------------------------------------------
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    out_root = tempfile.mkdtemp(prefix="rgbl_bench_")
+    try:
+        t0 = time.time()
+        docs = synthesize_documents(spark, n_docs, seed=42,
+                                    partitions=int(cpus) * 2)
+        catalog = GraphCatalog(spark, out_root)
+        res = build_graph(spark, docs, alias_table(spark), catalog)
+        n_triples = res["triples"].count()
+        dt = time.time() - t0
+        timings["kg_pipeline"] = round(dt, 3)
+        extras["kg_docs"] = n_docs
+        extras["kg_triples"] = n_triples
+        extras["kg_docs_per_sec"] = round(n_docs / dt, 1)
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+
+    # --- representative operator queries -----------------------------------
+    qs = entrymod.queries()
+    for name in ["tpch_q1", "dedup_exact", "dedup_minhash_lsh",
+                 "ann_brute_force", "events_sessionize"]:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+        extras[f"{name}_rows"] = n
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": int(cpus),
+        "extras": extras,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Canonicalization by iterative connected components.
+
+Implements the alternating large-star / small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) over an edge DataFrame — the standard shuffle-efficient CC for
+web-scale graphs: each round is a groupBy-min plus a join, edge count
+is non-increasing, and convergence is O(log^2 n) rounds.
+
+Scale notes:
+- every round ends in ``localCheckpoint`` to truncate lineage (without
+  it the plan doubles per iteration and the driver OOMs on planning)
+- convergence is detected with a one-action (count, xor-of-hashes)
+  fingerprint of the edge set — no exceptAll anti-join per round
+- node ids are longs (hash or dense ids); callers map strings first
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _symmetrize(e: DataFrame) -> DataFrame:
+    return (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    sym = _symmetrize(e)
+    mins = sym.groupBy("u").agg(F.min("v").alias("minv"))
+    mins = mins.select("u", F.least("minv", "u").alias("m"))
+    return (
+        sym.join(mins, "u")
+        .filter(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    oriented = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("minv"))
+    out1 = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("minv").alias("v"))
+    )
+    out2 = mins.select("u", F.col("minv").alias("v"))
+    return out1.union(out2).filter(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(e: DataFrame):
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "u",
+    dst: str = "v",
+    *,
+    max_iter: int = 30,
+) -> DataFrame:
+    """edges(src,dst: long) -> (node: long, component: long) where
+    component is the minimum node id in the component. Covers every
+    node that appears in at least one edge; isolated nodes are the
+    caller's coalesce."""
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        fp = _fingerprint(e)
+        if fp == prev:
+            break
+        prev = fp
+    # Converged star graphs: every edge is (node, root); roots appear
+    # only on the v side.
+    nodes = _symmetrize(e).select("u").distinct()
+    assign = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = nodes.join(
+        assign.select(F.col("node").alias("u")), "u", "left_anti"
+    ).select(F.col("u").alias("node"), F.col("u").alias("component"))
+    return assign.union(roots).dropDuplicates(["node"])

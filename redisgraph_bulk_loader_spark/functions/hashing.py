@@ -1,0 +1,109 @@
+"""Hash-sketch primitives: shingles, MinHash, banding, SimHash.
+
+All pure JVM-side column expressions (``xxhash64``, higher-order array
+functions) — no Python on the data path. Shared by entity-linking LSH
+(link/lsh.py) and document near-dup detection (operators/dedup.py).
+
+At scale: a MinHash signature is O(num_hashes) longs per row computed
+map-side; LSH banding turns an O(n^2) similarity join into an equi-join
+on (band_idx, band_hash) — the only shuffle is on band buckets.
+SimHash is computed as a single map-side explode + hash-aggregate with
+partial (map-side) combine, so the shuffle carries 64 partial sums per
+doc, not tokens.
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def char_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct character n-grams of a string as array<string>."""
+    padded = F.concat(F.lit(" "), F.lower(F.trim(col)), F.lit(" "))
+    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1)))
+    return F.array_distinct(F.transform(idx, lambda i: padded.substr(i, F.lit(n))))
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-grams as array<string> (whitespace tokenized)."""
+    toks = F.split(F.lower(F.trim(col)), r"\s+")
+    k = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    )
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """array<bigint> MinHash signature: per seed s, min over shingles of
+    xxhash64(shingle, s)."""
+    sigs = [
+        F.array_min(F.transform(shingles, lambda x, s=s: F.xxhash64(x, F.lit(s))))
+        for s in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def band_buckets(signature: Column, bands: int, rows: int) -> Column:
+    """array<struct<band:int, bucket:bigint>> — LSH banding; candidate
+    pairs share any (band, bucket)."""
+    entries = []
+    for b in range(bands):
+        band_slice = F.slice(signature, b * rows + 1, rows)
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",", F.transform(band_slice, lambda v: v.cast("string"))
+                    ),
+                    F.lit(b),
+                ).alias("bucket"),
+            )
+        )
+    return F.array(*entries)
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two string arrays (JVM-side)."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
+
+
+def simhash_df(
+    df: DataFrame, id_cols: List[str], tokens_col: str, *, out_col: str = "simhash"
+) -> DataFrame:
+    """Add a 64-bit SimHash column computed from a token-array column.
+
+    Distributed form: explode tokens -> one hash-aggregate with 64
+    per-bit vote sums (map-side partial combine) -> assemble bits.
+    """
+    tok = F.explode(F.col(tokens_col)).alias("_tok")
+    exploded = df.select(*id_cols, tok).withColumn("_h", F.xxhash64(F.col("_tok")))
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("_h"), bit).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"_v{bit}")
+        for bit in range(64)
+    ]
+    agg = exploded.groupBy(*id_cols).agg(*votes)
+    sim = F.lit(0).cast("long")
+    one = F.lit(1).cast("long")
+    for bit in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"_v{bit}") > 0, F.shiftleft(one, bit)).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    return agg.withColumn(out_col, sim).select(*id_cols, out_col)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit hashes (bit_count of XOR)."""
+    return F.bit_count(a.bitwiseXOR(b))

@@ -1,0 +1,134 @@
+"""Graph materialization: node/edge/triple tables + lineage + resume.
+
+Target layout mirrors the reference's output surface (per-label tokens,
+label/reltype registries, node-ID remapping dict — studied at
+/root/reference/redisgraph_bulk_loader/query_buffer.py:12-64) as
+catalog tables:
+
+    nodes        (internal_id, label, ext_id, properties?)   partitioned by label
+    edges        (src_internal, dst_internal, rel_type, ...) partitioned by rel_type
+    node_registry(ext_id -> internal_id)
+    labels / rel_types registries (string -> int code)
+    triples      (subj, pred, obj) comparison view
+    _lineage     (stage, input_fingerprint, row_count, wall_sec, ts)
+
+Iceberg is the production format (``USING iceberg`` via Spark SQL
+catalog configs); this sandbox has no Iceberg jars on the classpath, so
+the catalog transparently falls back to parquet directories plus a
+JSON manifest that carries the snapshot/lineage metadata Iceberg would.
+The API is format-agnostic — swapping ``fmt='iceberg'`` in a real
+deployment changes only the writer.
+
+Resume semantics (north_rule): each stage writes exactly once per
+(stage, input_fingerprint); ``is_complete`` lets the driver skip stages
+whose output already matches the input — a killed job reruns only
+missing stages.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class GraphCatalog:
+    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        self.spark = spark
+        self.root = root
+        self.fmt = fmt
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "_manifest.json")
+
+    # -- manifest ----------------------------------------------------------
+    def _manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {"tables": {}, "lineage": []}
+
+    def _save_manifest(self, m: dict) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+
+    # -- tables ------------------------------------------------------------
+    def path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return table in self._manifest()["tables"]
+
+    def write(
+        self,
+        table: str,
+        df: DataFrame,
+        *,
+        partition_by: Optional[List[str]] = None,
+        mode: str = "overwrite",
+        stage: Optional[str] = None,
+        input_fingerprint: Optional[str] = None,
+    ) -> None:
+        """Write a table; record a snapshot + lineage entry."""
+        t0 = time.time()
+        writer = df.write.mode(mode)
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(table))
+        wall = time.time() - t0
+        n = self.spark.read.parquet(self.path(table)).count()
+        m = self._manifest()
+        entry = m["tables"].get(table, {"snapshots": []})
+        entry["snapshots"].append(
+            {
+                "ts": time.time(),
+                "rows": n,
+                "mode": mode,
+                "partition_by": partition_by or [],
+                "input_fingerprint": input_fingerprint,
+            }
+        )
+        m["tables"][table] = entry
+        if stage:
+            m["lineage"].append(
+                {
+                    "stage": stage,
+                    "table": table,
+                    "input_fingerprint": input_fingerprint,
+                    "row_count": n,
+                    "wall_sec": round(wall, 3),
+                    "ts": time.time(),
+                }
+            )
+        self._save_manifest(m)
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(table))
+
+    def is_complete(self, stage: str, input_fingerprint: str) -> bool:
+        """True if this stage already ran against this exact input —
+        the resume check (skip recomputation after a kill)."""
+        for rec in self._manifest()["lineage"]:
+            if rec["stage"] == stage and rec["input_fingerprint"] == input_fingerprint:
+                return True
+        return False
+
+    def lineage(self) -> List[dict]:
+        return list(self._manifest()["lineage"])
+
+    # -- fingerprints ------------------------------------------------------
+    @staticmethod
+    def fingerprint_df(df: DataFrame, cols: Optional[List[str]] = None) -> str:
+        """Order-insensitive content fingerprint of a DataFrame: xor/sum
+        of per-row xxhash64 over the named columns + count. One pass."""
+        use = cols or df.columns
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64(*[F.col(c) for c in use]).cast("decimal(38,0)")).alias("h"),
+        ).collect()[0]
+        return f"{row['n']}:{row['h']}"

@@ -1,0 +1,168 @@
+"""Document deduplication family for training-data pipelines.
+
+- exact_dedup: content-hash groupBy (md5 of normalized text), keeps the
+  smallest id per group — one shuffle on a 128-bit key, fully
+  SQL-expressible (DuckDB oracle twin in __spark_entry__).
+- ngram_jaccard_pairs: exact n-gram Jaccard via shingle explode +
+  self-equi-join on shingle + pair aggregation — the classic
+  inverted-index form; never a cross join. SQL-expressible.
+- minhash_lsh_dedup_pairs: MinHash + banding (functions/hashing.py) —
+  the 100 TB path: candidate generation shuffles band buckets only,
+  then exact-Jaccard verification on candidates.
+- simhash_dup_pairs: 64-bit SimHash; near-dups = hamming distance <= k
+  among same-band candidates (4-band split of the 64-bit hash, standard
+  Charikar trick).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    band_buckets,
+    hamming64,
+    jaccard,
+    minhash_signature,
+    simhash_df,
+    word_shingles,
+)
+from ..functions.text import doc_fingerprint
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One survivor (min id) per exact normalized-content group."""
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("_fp", doc_fingerprint(F.col(text_col)))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_fp")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.8,
+    max_shingle_freq: int = 10000,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs (id_a < id_b, jaccard_sim) via the
+    inverted-index join: |A ∩ B| from the shingle self-join, |A|,|B|
+    from per-doc shingle counts. Stopword-grade shingles above
+    ``max_shingle_freq`` are dropped from *pair generation only* — at
+    web scale one universal shingle would otherwise produce a quadratic
+    reducer; this bound is the standard guard."""
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_shingles(F.col(text_col), n)).alias("_sh"),
+    ).distinct()
+    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
+    freq = sh.groupBy("_sh").agg(F.count("*").alias("_f"))
+    sh_f = sh.join(F.broadcast(freq.filter(F.col("_f") > max_shingle_freq)), "_sh", "left_anti")
+    inter = (
+        sh_f.alias("a")
+        .join(sh_f.alias("b"), "_sh")
+        .filter(F.col("a._id") < F.col("b._id"))
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count("*").alias("_inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_sz").alias("_sza")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_sz").alias("_szb")), "id_b")
+        .withColumn(
+            "jaccard_sim",
+            F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def minhash_lsh_dedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs via MinHash banding + exact-Jaccard verification.
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b."""
+    rows = num_hashes // bands
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        word_shingles(F.col(text_col), n).alias("_sh"),
+    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    banded = base.select(
+        "_id", "_sh", F.explode(band_buckets(F.col("_sig"), bands, rows)).alias("_bb")
+    ).select("_id", "_sh", "_bb.band", "_bb.bucket")
+    cands = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._sh").alias("_sha"),
+            F.col("b._sh").alias("_shb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.withColumn("jaccard_sim", jaccard(F.col("_sha"), F.col("_shb")))
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("id_a", "id_b", "jaccard_sim")
+    )
+
+
+def simhash_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: split the 64-bit hash into 4 16-bit
+    bands; by pigeonhole any pair within hamming<=3 shares an exact
+    band — join per band, verify full hamming distance."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    hashed = simhash_df(
+        df.select(F.col(id_col).alias("_id"), toks.alias("_toks")),
+        ["_id"],
+        "_toks",
+    )
+    banded = hashed.select(
+        "_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bucket"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("_bb"),
+    ).select("_id", "simhash", "_bb.band", "_bb.bucket")
+    return (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .filter(F.col("hamming") <= max_hamming)
+    )

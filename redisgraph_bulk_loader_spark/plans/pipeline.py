@@ -1,0 +1,245 @@
+"""End-to-end KG construction pipeline.
+
+documents(doc_id, spans) ->
+  1. span-sequence validation (JVM-side invariant check)
+  2. batched mention detection / triple extraction (mapInPandas)
+  3. entity linking: broadcast alias join; leftovers through
+     MinHash-LSH candidate blocking against canonical names
+  4. canonicalization: connected components (large-star/small-star)
+     over the surface<->canonical sameAs graph; component
+     representative = lexicographically smallest canonical id
+  5. dense node-ID assignment + label/reltype registries
+  6. endpoint resolution (broadcast join) -> edges
+  7. materialize nodes/edges/triples + per-stage lineage; per-predicate
+     counts via skew-safe two-phase aggregation
+
+Every stage is a DataFrame transformation; the only Python on the data
+path is the Arrow-batched extractor. Stage writes go through
+GraphCatalog with input fingerprints, so a rerun over unchanged input
+skips completed stages (resume-from-checkpoint).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..canon import connected_components
+from ..extract import extract_mentions, validate_span_sequences
+from ..ids import build_node_registry
+from ..link import link_mentions, lsh_candidate_pairs
+from ..materialize import GraphCatalog
+from ..operators.endpoints import resolve_endpoints
+from ..operators.skew import two_phase_count
+
+
+def _augment_aliases_with_lsh(
+    mentions_linked: DataFrame, aliases: DataFrame, threshold: float
+) -> DataFrame:
+    """Resolve leftover surfaces via LSH against canonical surfaces;
+    returns the augmented alias table."""
+    unresolved = (
+        mentions_linked.filter(F.col("subj_cid").isNull())
+        .select(F.col("subj_surface").alias("surface"))
+        .union(
+            mentions_linked.filter(
+                F.col("obj_cid").isNull() & (F.col("obj_kind") != "media")
+            ).select(F.col("obj_surface").alias("surface"))
+        )
+        .distinct()
+    )
+    if unresolved.isEmpty():
+        return aliases
+    matches = lsh_candidate_pairs(
+        unresolved,
+        aliases,
+        "surface",
+        "canonical_id",
+        "surface",
+        "surface",
+        threshold=threshold,
+    )
+    extra = matches.select(
+        F.col("surface_lsh").alias("surface"),
+        F.col("canonical_id_lsh").alias("canonical_id"),
+    )
+    return aliases.unionByName(extra)
+
+
+def canonicalize(aliases: DataFrame) -> DataFrame:
+    """Connected components over the surface<->canonical bipartite
+    sameAs graph; returns (canonical_id -> canon_id) remap where
+    canon_id is the smallest canonical id in the component."""
+    nodes_s = aliases.select(
+        F.xxhash64(F.concat(F.lit("s:"), "surface")).alias("u"),
+        F.xxhash64(F.concat(F.lit("c:"), "canonical_id")).alias("v"),
+    )
+    cc = connected_components(nodes_s, "u", "v")
+    canon_nodes = aliases.select("canonical_id").distinct().withColumn(
+        "node", F.xxhash64(F.concat(F.lit("c:"), "canonical_id"))
+    )
+    with_comp = canon_nodes.join(cc, "node", "left").withColumn(
+        "component", F.coalesce("component", "node")
+    )
+    reps = with_comp.groupBy("component").agg(
+        F.min("canonical_id").alias("canon_id")
+    )
+    return with_comp.join(reps, "component").select("canonical_id", "canon_id")
+
+
+def build_graph(
+    spark: SparkSession,
+    documents: DataFrame,
+    aliases: DataFrame,
+    catalog: Optional[GraphCatalog] = None,
+    *,
+    lsh_threshold: float = 0.5,
+    strict_spans: bool = False,
+) -> dict:
+    """Run the full pipeline; returns dict of result DataFrames and
+    writes catalog tables when a catalog is given."""
+    # 1. span validation
+    ok = validate_span_sequences(documents)
+    docs = documents.filter(ok) if not strict_spans else documents
+    if strict_spans:
+        bad = documents.filter(~ok).limit(1).collect()
+        if bad:
+            raise ValueError(f"span-sequence violation in doc {bad[0]['doc_id']}")
+
+    # 2. extraction
+    mentions = extract_mentions(docs)
+
+    # 3. linking (broadcast alias join, then LSH for leftovers)
+    linked0 = link_mentions(mentions, aliases)
+    aliases_aug = _augment_aliases_with_lsh(linked0, aliases, lsh_threshold)
+    linked = link_mentions(mentions, aliases_aug)
+
+    # 4. canonicalization via connected components
+    remap = canonicalize(aliases_aug)
+    linked = (
+        linked.join(
+            F.broadcast(remap.withColumnRenamed("canonical_id", "subj_cid")
+                        .withColumnRenamed("canon_id", "subj_canon")),
+            "subj_cid",
+            "left",
+        )
+        .join(
+            F.broadcast(remap.withColumnRenamed("canonical_id", "obj_cid")
+                        .withColumnRenamed("canon_id", "obj_canon")),
+            "obj_cid",
+            "left",
+        )
+        .withColumn("subj_canon", F.coalesce("subj_canon", "subj_cid"))
+        .withColumn(
+            "obj_canon",
+            F.when(F.col("obj_kind") == "media", F.col("obj_cid")).otherwise(
+                F.coalesce("obj_canon", "obj_cid")
+            ),
+        )
+    )
+
+    # triples: resolved mentions only, deduped on (subj, pred, obj)
+    triples = (
+        linked.filter(
+            F.col("subj_canon").isNotNull() & F.col("obj_canon").isNotNull()
+        )
+        .select(
+            F.col("doc_id"),
+            F.col("subj_canon").alias("subj"),
+            F.col("pred"),
+            F.col("obj_canon").alias("obj"),
+            F.col("obj_kind"),
+        )
+    )
+    distinct_triples = triples.dropDuplicates(["subj", "pred", "obj"])
+
+    # 5. node registry: every canonical entity/place/media object
+    node_ext = (
+        triples.select(F.col("subj").alias("ext_id"), F.lit("entity").alias("label"))
+        .union(triples.select(F.col("obj").alias("ext_id"), F.col("obj_kind")))
+        .dropDuplicates(["ext_id"])
+        .withColumn(
+            "label",
+            F.when(F.col("ext_id").startswith("place:"), "place")
+            .when(F.col("ext_id").startswith("img://"), "media")
+            .otherwise("entity"),
+        )
+    )
+    registry = build_node_registry(
+        node_ext, ["ext_id"], ["label", "ext_id"]
+    )
+    nodes = node_ext.join(registry, "ext_id").select("internal_id", "label", "ext_id")
+
+    # label / reltype registries (tiny dims, mirror header tokens)
+    labels_reg = nodes.select("label").distinct().withColumn(
+        "label_code", F.row_number().over(Window.orderBy("label")) - 1
+    )
+    rel_reg = (
+        distinct_triples.select(F.col("pred").alias("rel_type"))
+        .distinct()
+        .withColumn("rel_code", F.row_number().over(Window.orderBy("rel_type")) - 1)
+    )
+
+    # 6. endpoint resolution -> edges with internal ids
+    edges = resolve_endpoints(
+        distinct_triples.select(
+            F.col("subj").alias("src_id"),
+            F.col("obj").alias("dst_id"),
+            F.col("pred").alias("rel_type"),
+        ),
+        registry,
+        skip_invalid=False,
+    ).select("src_internal", "dst_internal", "rel_type")
+
+    # 7. metrics: per-predicate counts, skew-safe
+    pred_counts = two_phase_count(triples, ["pred"], count_col="n_triples")
+
+    results = {
+        "mentions": mentions,
+        "triples": distinct_triples,
+        "nodes": nodes,
+        "edges": edges,
+        "registry": registry,
+        "labels": labels_reg,
+        "rel_types": rel_reg,
+        "pred_counts": pred_counts,
+    }
+
+    if catalog is not None:
+        fp = GraphCatalog.fingerprint_df(documents.select("doc_id"))
+        if not catalog.is_complete("build_graph", fp):
+            catalog.write("nodes", nodes, partition_by=["label"],
+                          stage="nodes", input_fingerprint=fp)
+            catalog.write("edges", edges, partition_by=["rel_type"],
+                          stage="edges", input_fingerprint=fp)
+            catalog.write("triples", distinct_triples,
+                          stage="triples", input_fingerprint=fp)
+            catalog.write("node_registry", registry,
+                          stage="node_registry", input_fingerprint=fp)
+            catalog.write("pred_counts", pred_counts,
+                          stage="build_graph", input_fingerprint=fp)
+        table_of = {
+            "nodes": "nodes", "edges": "edges", "triples": "triples",
+            "registry": "node_registry", "pred_counts": "pred_counts",
+        }
+        for key, table in table_of.items():
+            if catalog.exists(table):
+                results[key] = catalog.read(table)
+
+    return results
+
+
+def triple_prf(result_triples: DataFrame, gold_triples: DataFrame) -> dict:
+    """Precision/recall/F1 of (subj, pred, obj) sets vs gold."""
+    got = result_triples.select("subj", "pred", "obj").distinct()
+    gold = gold_triples.select("subj", "pred", "obj").distinct()
+    n_got = got.count()
+    n_gold = gold.count()
+    n_hit = got.join(gold, ["subj", "pred", "obj"]).count()
+    p = n_hit / n_got if n_got else 0.0
+    r = n_hit / n_gold if n_gold else 0.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return {"precision": p, "recall": r, "f1": f1,
+            "n_got": n_got, "n_gold": n_gold, "n_hit": n_hit}

@@ -1,0 +1,5 @@
+from .stream import (  # noqa: F401
+    incremental_graph_update,
+    sessionize_events,
+    stream_events_to_graph,
+)

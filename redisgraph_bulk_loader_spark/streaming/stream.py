@@ -1,0 +1,100 @@
+"""Streaming / incremental graph updates.
+
+The reference's bulk-update path applies batched Cypher UNWIND updates
+to an existing graph (studied at /root/reference/redisgraph_bulk_loader/
+bulk_update.py:37-122): rows arrive, are quoted/typed, batched by size,
+and MERGEd incrementally — partial failure leaves earlier batches
+applied (README.md:205).
+
+Spark mapping:
+- ``incremental_graph_update``: batch MERGE semantics — new rows are
+  upserted into the nodes table keyed by ext_id (insert-if-absent,
+  last-wins property update), exactly the CREATE/MERGE idempotency the
+  reference tests pin (test_bulk_update.py:28-81).
+- ``stream_events_to_graph``: Structured Streaming ingestion — a
+  readStream source of events becomes micro-batched upserts via
+  ``foreachBatch`` (each micro-batch is one incremental commit, the
+  streaming analogue of the reference's size-bounded batches).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def incremental_graph_update(
+    existing_nodes: DataFrame,
+    updates: DataFrame,
+    key_cols: List[str],
+    *,
+    order_col: Optional[str] = None,
+) -> DataFrame:
+    """MERGE semantics: upsert ``updates`` into ``existing_nodes`` on
+    key_cols. Within updates, last occurrence wins (reference applies
+    batches in row order). Running it twice with the same updates is a
+    no-op (idempotent MERGE, test_bulk_update.py:28-81)."""
+    cols = existing_nodes.columns
+    upd = updates.select(*cols)
+    if order_col:
+        w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
+        upd = (
+            updates.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") == 1)
+            .select(*cols)
+        )
+    else:
+        upd = upd.dropDuplicates(key_cols)
+    kept = existing_nodes.join(upd.select(*key_cols), key_cols, "left_anti")
+    return kept.unionByName(upd)
+
+
+def stream_events_to_graph(
+    events_stream: DataFrame,
+    apply_batch: Callable[[DataFrame, int], None],
+    *,
+    checkpoint_dir: str,
+    trigger_once: bool = True,
+):
+    """Wire a streaming events DataFrame into micro-batched graph
+    updates. ``apply_batch(batch_df, batch_id)`` performs the MERGE
+    (typically incremental_graph_update + catalog write). Returns the
+    StreamingQuery. Watermarking/dedup belongs to the caller's
+    transformations on ``events_stream``."""
+    writer = (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def sessionize_events(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Gap-based sessionization (batch form): a new session starts when
+    the previous event of the same user is more than ``gap_minutes``
+    older. Returns events + session_id. Window-function form is
+    SQL-expressible for the DuckDB oracle."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    prev_ts = F.lag(ts_col).over(w)
+    new_sess = (
+        prev_ts.isNull()
+        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
+           > gap_minutes * 60)
+    ).cast("int")
+    sess_idx = F.sum(new_sess).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return events.withColumn(
+        "session_id",
+        F.concat_ws("-", F.col(user_col).cast("string"), sess_idx.cast("string")),
+    )

@@ -1,0 +1,322 @@
+"""Operator-level tests: CSV source, endpoint resolution, dedup family,
+similarity, connected components, skew ops, streaming merge, catalog
+resume. Reference semantics citations inline.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from redisgraph_bulk_loader_spark.canon import connected_components
+from redisgraph_bulk_loader_spark.exceptions import CSVError
+from redisgraph_bulk_loader_spark.materialize import GraphCatalog
+from redisgraph_bulk_loader_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_dup_pairs,
+)
+from redisgraph_bulk_loader_spark.operators.endpoints import resolve_endpoints
+from redisgraph_bulk_loader_spark.operators.similarity import (
+    brute_force_topk,
+    lsh_bucketed_topk,
+)
+from redisgraph_bulk_loader_spark.operators.skew import salted_join, two_phase_count
+from redisgraph_bulk_loader_spark.sources import read_entity_csv
+from redisgraph_bulk_loader_spark.streaming import incremental_graph_update
+
+
+# ---------------------------------------------------------------------------
+# CSV source (reference dialect)
+# ---------------------------------------------------------------------------
+
+class TestCsvSource:
+    def _write(self, tmp_path, name, content):
+        p = os.path.join(str(tmp_path), name)
+        with open(p, "w") as f:
+            f.write(content)
+        return p
+
+    def test_schemaless_node_read(self, spark, tmp_path):
+        p = self._write(
+            tmp_path, "Person.csv", "name,age\nAlice,32\nBob,31\n"
+        )
+        res = read_entity_csv(spark, p, "node")
+        assert res.plan.entity_str == "Person"
+        assert res.plan.column_names == ["name", "age"]
+        rows = sorted(tuple(r) for r in res.df.collect())
+        assert rows == [("Alice", "32"), ("Bob", "31")]
+
+    def test_quotes_stay_literal(self, spark, tmp_path):
+        # QUOTE_NONE: "30165" keeps its quotes (example2/Robots.csv,
+        # README.md:94)
+        p = self._write(tmp_path, "Robots.csv", '"name"\n"Beebop"\n"30165"\n')
+        res = read_entity_csv(spark, p, "node")
+        assert res.plan.entity_str == "Robots"
+        assert res.plan.column_names == ['"name"']
+        vals = sorted(r[0] for r in res.df.collect())
+        assert vals == ['"30165"', '"Beebop"']
+
+    def test_arity_violation_strict(self, spark, tmp_path):
+        # entity_file.py:220-233: row arity must match header
+        p = self._write(tmp_path, "bad.csv", "a,b\n1,2\n1,2,3\n")
+        with pytest.raises(CSVError):
+            read_entity_csv(spark, p, "node", strict_arity=True)
+
+    def test_arity_violation_skip(self, spark, tmp_path):
+        p = self._write(tmp_path, "bad.csv", "a,b\n1,2\n1,2,3\n4,5\n")
+        res = read_entity_csv(spark, p, "node", strict_arity=False)
+        assert res.dropped == 1
+        assert res.df.count() == 2
+
+    def test_custom_separator(self, spark, tmp_path):
+        p = self._write(tmp_path, "pipe.csv", "a|b\n1|x\n")
+        res = read_entity_csv(spark, p, "node", separator="|")
+        assert [tuple(r) for r in res.df.collect()] == [("1", "x")]
+
+
+# ---------------------------------------------------------------------------
+# Endpoint resolution (J1/P3)
+# ---------------------------------------------------------------------------
+
+class TestEndpoints:
+    @pytest.fixture()
+    def registry(self, spark):
+        return spark.createDataFrame(
+            [("0", 0), ("5", 1), ("3", 2)], "ext_id string, internal_id long"
+        )
+
+    def test_resolve(self, spark, registry):
+        edges = spark.createDataFrame(
+            [("0", "3"), ("5", "3")], "src_id string, dst_id string"
+        )
+        out = resolve_endpoints(edges, registry)
+        got = sorted((r.src_internal, r.dst_internal) for r in out.collect())
+        assert got == [(0, 2), (1, 2)]
+
+    def test_unknown_endpoint_strict_raises(self, spark, registry):
+        # relation_type.py:74-88: KeyError unless skip_invalid_edges
+        edges = spark.createDataFrame(
+            [("0", "99")], "src_id string, dst_id string"
+        )
+        with pytest.raises(CSVError):
+            resolve_endpoints(edges, registry, skip_invalid=False)
+
+    def test_unknown_endpoint_skip_drops(self, spark, registry):
+        edges = spark.createDataFrame(
+            [("0", "99"), ("5", "3")], "src_id string, dst_id string"
+        )
+        out = resolve_endpoints(edges, registry, skip_invalid=True)
+        assert out.count() == 1
+
+    def test_salted_matches_broadcast(self, spark, registry):
+        edges = spark.createDataFrame(
+            [("0", "3"), ("5", "3"), ("0", "0")], "src_id string, dst_id string"
+        )
+        a = sorted(
+            (r.src_internal, r.dst_internal)
+            for r in resolve_endpoints(edges, registry).collect()
+        )
+        b = sorted(
+            (r.src_internal, r.dst_internal)
+            for r in resolve_endpoints(
+                edges, registry, broadcast_registry=False, salt=4
+            ).collect()
+        )
+        assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+class TestDedup:
+    @pytest.fixture()
+    def docs(self, spark):
+        return spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                (2, "the quick brown fox jumps over the lazy dog"),  # exact dup
+                (3, "the quick brown fox jumps over a lazy dog"),  # near dup
+                (4, "completely different content about spark engines"),
+                (5, "  The   quick brown fox jumps over the lazy dog "),  # ws/case dup
+            ],
+            "doc_id long, text string",
+        )
+
+    def test_exact(self, spark, docs):
+        kept = sorted(r.doc_id for r in exact_dedup(docs, "doc_id", "text").collect())
+        assert kept == [1, 3, 4]  # 2 and 5 are exact dups of 1 (normalized)
+
+    def test_ngram_jaccard(self, spark, docs):
+        pairs = ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) in got and (1, 5) in got and (2, 5) in got
+        assert (3, 4) not in got and (1, 4) not in got
+
+    def test_minhash_lsh_finds_near_dups(self, spark, docs):
+        pairs = minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) in got  # identical docs always collide
+        assert all(4 not in p for p in got)
+
+    def test_simhash(self, spark, docs):
+        pairs = simhash_dup_pairs(docs, "doc_id", "text", max_hamming=3)
+        got = {(r.id_a, r.id_b) for r in pairs.collect()}
+        assert (1, 2) in got
+        assert all(4 not in p for p in got)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+class TestSimilarity:
+    @pytest.fixture()
+    def emb(self, spark):
+        import random
+
+        rnd = random.Random(7)
+        rows = []
+        for i in range(60):
+            rows.append((i, [rnd.gauss(0, 1) for _ in range(16)]))
+        # vec 61 = near-copy of vec 0
+        base = rows[0][1]
+        rows.append((61, [x + 0.01 for x in base]))
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_brute_force_topk(self, spark, emb):
+        q = emb.filter(F.col("vec_id") == 0)
+        out = brute_force_topk(emb, q, k=3, vec_col="embedding").collect()
+        assert out[0].neighbor_id == 61  # planted near-copy is rank 1
+        assert [r.rank for r in out] == [1, 2, 3]
+
+    def test_lsh_recalls_planted_neighbor(self, spark, emb):
+        q = emb.filter(F.col("vec_id") == 0)
+        out = lsh_bucketed_topk(
+            emb, q, k=3, bits=4, dim=16, probe_bits=4, vec_col="embedding"
+        ).collect()
+        assert out and out[0].neighbor_id == 61
+
+
+# ---------------------------------------------------------------------------
+# Connected components
+# ---------------------------------------------------------------------------
+
+class TestConnectedComponents:
+    def test_components_match_python_bfs(self, spark):
+        import random
+
+        rnd = random.Random(3)
+        edges = set()
+        for _ in range(120):
+            edges.add((rnd.randrange(60), rnd.randrange(60)))
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "u long, v long")
+        got = {
+            r.node: r.component for r in connected_components(df).collect()
+        }
+        # pure-python union-find oracle
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        def union(a, b):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+
+        for a, b in edges:
+            union(a, b)
+        expected = {}
+        for a, b in edges:
+            expected[a] = find(a)
+            expected[b] = find(b)
+        # normalize: component representative = min member
+        comp_min = {}
+        for n, c in expected.items():
+            comp_min.setdefault(c, n)
+            comp_min[c] = min(comp_min[c], n)
+        expected = {n: comp_min[c] for n, c in expected.items()}
+        assert got == expected
+
+    def test_two_components(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "u long, v long"
+        )
+        got = {r.node: r.component for r in connected_components(df).collect()}
+        assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+# ---------------------------------------------------------------------------
+# Skew ops
+# ---------------------------------------------------------------------------
+
+class TestSkew:
+    def test_two_phase_count_equals_plain(self, spark):
+        df = spark.range(0, 10000).withColumn(
+            "k",
+            F.when(F.col("id") % 100 < 90, F.lit("hub")).otherwise(
+                (F.col("id") % 7).cast("string")
+            ),
+        )
+        plain = {r.k: r["count"] for r in df.groupBy("k").count().collect()}
+        salted = {r.k: r.n for r in two_phase_count(df, ["k"]).collect()}
+        assert salted == plain
+
+    def test_salted_join_equals_plain(self, spark):
+        fact = spark.range(0, 5000).withColumn("k", F.col("id") % 10)
+        dim = spark.range(0, 10).select(
+            F.col("id").alias("k"), (F.col("id") * 100).alias("val")
+        )
+        plain = sorted(
+            (r.id, r.val) for r in fact.join(dim, "k").select("id", "val").collect()
+        )
+        salted = sorted(
+            (r.id, r.val)
+            for r in salted_join(fact, dim, ["k"], salt=4)
+            .select("id", "val").collect()
+        )
+        assert salted == plain
+
+
+# ---------------------------------------------------------------------------
+# Streaming-style merge + catalog resume
+# ---------------------------------------------------------------------------
+
+class TestIncrementalUpdate:
+    def test_merge_idempotent(self, spark):
+        # test_bulk_update.py:28-81 CREATE/MERGE idempotency
+        base = spark.createDataFrame(
+            [("0", "a"), ("5", "b")], "ext_id string, name string"
+        )
+        upd = spark.createDataFrame(
+            [("5", "B2"), ("3", "c")], "ext_id string, name string"
+        )
+        once = incremental_graph_update(base, upd, ["ext_id"])
+        twice = incremental_graph_update(once, upd, ["ext_id"])
+        m = {r.ext_id: r.name for r in twice.collect()}
+        assert m == {"0": "a", "5": "B2", "3": "c"}
+        assert once.count() == twice.count() == 3
+
+
+class TestCatalogResume:
+    def test_stage_skip_on_same_fingerprint(self, spark, tmp_path):
+        cat = GraphCatalog(spark, str(tmp_path / "cat"))
+        df = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+        fp = GraphCatalog.fingerprint_df(df)
+        assert not cat.is_complete("stage1", fp)
+        cat.write("t1", df, stage="stage1", input_fingerprint=fp)
+        assert cat.is_complete("stage1", fp)
+        # different input -> not complete
+        fp2 = GraphCatalog.fingerprint_df(df.filter(F.col("id") < 50))
+        assert not cat.is_complete("stage1", fp2)
+        # data round-trips
+        assert cat.read("t1").count() == 100
+        assert cat.lineage()[0]["row_count"] == 100
