@@ -49,17 +49,19 @@ def lsh_candidate_pairs(
 
     def prep(df, key, text, side):
         sigs = minhash_signatures(df, text, num_hashes=num_hashes, shingle_n=shingle_n)
-        return (
-            sigs.select(
-                F.col(key).alias(f"{side}_key"),
-                F.col("_shingles").alias(f"{side}_sh"),
-                F.explode(band_buckets(F.col("_sig"), bands, rows)).alias("_bb"),
-            )
-            .select(f"{side}_key", f"{side}_sh", "_bb.band", "_bb.bucket")
-        )
+        base = sigs.select(
+            F.col(key).alias(f"{side}_key"),
+            F.col("_shingles").alias(f"{side}_sh"),
+            F.col("_sig"),
+        ).persist()
+        banded = base.select(
+            f"{side}_key",
+            F.explode(band_buckets(F.col("_sig"), bands, rows)).alias("_bb"),
+        ).select(f"{side}_key", "_bb.band", "_bb.bucket")
+        return base.drop("_sig"), banded
 
-    lp = prep(left, left_key, left_text, "l")
-    rp = prep(right, right_key, right_text, "r")
+    lbase, lp = prep(left, left_key, left_text, "l")
+    rbase, rp = prep(right, right_key, right_text, "r")
 
     # Degenerate-bucket guard: drop buckets with pathological fan-out.
     bucket_sizes = rp.groupBy("band", "bucket").agg(F.count("*").alias("_bsz"))
@@ -69,10 +71,13 @@ def lsh_candidate_pairs(
         "left_anti",
     )
 
+    # Key-only pair dedup; shingle sets rejoin once per unique pair.
     cands = (
         lp.join(rp, ["band", "bucket"])
-        .select("l_key", "r_key", "l_sh", "r_sh")
+        .select("l_key", "r_key")
         .dropDuplicates(["l_key", "r_key"])
+        .join(lbase, "l_key")
+        .join(rbase, "r_key")
         .withColumn("jaccard_sim", jaccard(F.col("l_sh"), F.col("r_sh")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("l_key", "r_key", "jaccard_sim")

@@ -98,24 +98,30 @@ def minhash_lsh_dedup_pairs(
     base = df.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_sh"),
-    ).withColumn("_sig", minhash_signature(F.col("_sh"), num_hashes))
+    ).persist()
+    # Band join carries only (id, band, bucket) — candidate pairs are
+    # deduped as bare key pairs BEFORE the shingle arrays rejoin, so the
+    # pair-dedup shuffle moves 2 ids per row instead of 2 full shingle
+    # sets per band collision.
     banded = base.select(
-        "_id", "_sh", F.explode(band_buckets(F.col("_sig"), bands, rows)).alias("_bb")
-    ).select("_id", "_sh", "_bb.band", "_bb.bucket")
-    cands = (
+        "_id",
+        F.explode(
+            band_buckets(minhash_signature(F.col("_sh"), num_hashes), bands, rows)
+        ).alias("_bb"),
+    ).select("_id", "_bb.band", "_bb.bucket")
+    pairs = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a._id") < F.col("b._id"))
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._sh").alias("_sha"),
-            F.col("b._sh").alias("_shb"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cands.withColumn("jaccard_sim", jaccard(F.col("_sha"), F.col("_shb")))
+        pairs.join(base.select(F.col("_id").alias("id_a"),
+                               F.col("_sh").alias("_sha")), "id_a")
+        .join(base.select(F.col("_id").alias("id_b"),
+                          F.col("_sh").alias("_shb")), "id_b")
+        .withColumn("jaccard_sim", jaccard(F.col("_sha"), F.col("_shb")))
         .filter(F.col("jaccard_sim") >= threshold)
         .select("id_a", "id_b", "jaccard_sim")
     )

@@ -1,0 +1,263 @@
+"""Loader-compatibility plan: CSV node/relation files -> graph tables.
+
+The distributed re-expression of the reference CLI's end-to-end
+lifecycle (studied at /root/reference/redisgraph_bulk_loader/
+bulk_insert.py:143-232): schema pass -> node pass (typing, ID dict,
+dense ids) -> edge pass (endpoint resolution) -> sink.
+
+Ordering semantics: the reference assigns internal node ids in
+file-CLI-order then row-order (query_buffer.py:12-23). Row order inside
+a CSV is recovered here with a per-file zipWithIndex over the raw lines
+(the one RDD use in this package — a genuine need: row position IS the
+reference's ordering key), then fields are parsed batch-wise with the
+exact python-csv dialect the reference uses. Loader-compat inputs are
+dimension-scale; the 10^12-row path is the documents pipeline.
+
+Typing: every cell goes through the kernel (schemaless inference or
+enforced cast); NULL cells become *absent* map keys
+(test_no_null_values, test_bulk_loader.py:627-654).
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..config import Config
+from ..exceptions import CSVError, SchemaError
+from ..ids import assign_dense_ids
+from ..kernel.typing_kernel import TAG_NULL, canonical_literal, cast_cell, infer_cell
+from ..schema import ColumnPlan, HType, parse_header
+from ..sources.csv_source import _read_header
+
+_TYPE_TAG = {
+    HType.BOOL: 1, HType.DOUBLE: 2, HType.STRING: 3, HType.LONG: 4,
+    HType.ARRAY: 5, HType.ID_STRING: 3, HType.ID_INTEGER: 4,
+}
+
+
+def _lines_with_index(spark: SparkSession, path: str) -> DataFrame:
+    """(line, row_idx) preserving file order; header dropped."""
+    rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    df = spark.createDataFrame(
+        rdd, StructType([StructField("line", StringType()),
+                         StructField("row_idx", LongType())])
+    )
+    return df.filter(F.col("row_idx") > 0)
+
+
+def _parse_rows(
+    lines: DataFrame, plan: ColumnPlan, cfg: Config, path: str
+) -> DataFrame:
+    """Parse raw lines with the reference csv dialect; validate arity;
+    type every property cell through the kernel. Output columns:
+    row_idx, _key fields, props (map<string, canonical literal string>),
+    plus typed id/endpoint columns."""
+    n_cols = plan.column_count
+    prop_cols: List[Tuple[int, str, Optional[HType]]] = [
+        (i, plan.column_names[i], plan.types[i] if plan.types else None)
+        for i in range(n_cols)
+        if plan.column_names[i] is not None
+    ]
+    enforce = cfg.enforce_schema
+    sep, quoting, esc = cfg.separator, cfg.quoting, cfg.escapechar
+    kind, id_off = plan.kind, plan.id
+    s_off, e_off = plan.start_id, plan.end_id
+
+    out_fields = [
+        StructField("row_idx", LongType()),
+        StructField("props_json", StringType()),
+    ]
+    if kind == "node":
+        out_fields.append(StructField("ext_id", StringType()))
+    else:
+        out_fields.append(StructField("src_id", StringType()))
+        out_fields.append(StructField("dst_id", StringType()))
+    schema = StructType(out_fields)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
+        for pdf in batches:
+            out = {f.name: [] for f in schema.fields}
+            reader = _csv.reader(
+                io.StringIO("\n".join(pdf["line"].astype(str))),
+                delimiter=sep, skipinitialspace=True, quoting=quoting,
+                escapechar=esc,
+            )
+            for row_idx, row in zip(pdf["row_idx"], reader):
+                if len(row) != n_cols:
+                    raise CSVError(
+                        f"{path}:{int(row_idx)} Expected {n_cols} columns, "
+                        f"encountered {len(row)}"
+                    )
+                props = {}
+                for off, name, htype in prop_cols:
+                    raw = row[off]
+                    if enforce:
+                        cell = cast_cell(raw, _TYPE_TAG[htype])
+                    else:
+                        cell = infer_cell(raw)
+                    if cell.t != TAG_NULL:
+                        props[name] = canonical_literal(cell)
+                out["row_idx"].append(int(row_idx))
+                out["props_json"].append(json.dumps(props, ensure_ascii=False))
+                if kind == "node":
+                    out["ext_id"].append(row[id_off].strip())
+                else:
+                    out["src_id"].append(row[s_off].strip())
+                    out["dst_id"].append(row[e_off].strip())
+            yield pd.DataFrame(out)
+
+    return lines.mapInPandas(run, schema=schema)
+
+
+def _ns_prefixed(col, namespace: Optional[str]):
+    if namespace:
+        return F.concat(F.lit(namespace + "."), col)
+    return col
+
+
+class BulkGraph:
+    """Result bundle: nodes / edges / registry DataFrames."""
+
+    def __init__(self, nodes, edges, registry, node_counts, edge_counts,
+                 skipped_edges):
+        self.nodes = nodes
+        self.edges = edges
+        self.registry = registry
+        self.node_counts = node_counts
+        self.edge_counts = edge_counts
+        self.skipped_edges = skipped_edges
+
+
+def bulk_insert(
+    spark: SparkSession,
+    node_files: Sequence[Tuple[str, Optional[str]]],
+    relation_files: Sequence[Tuple[str, Optional[str]]] = (),
+    config: Optional[Config] = None,
+) -> BulkGraph:
+    """(path, label_or_None) lists -> graph tables.
+
+    Matches the reference lifecycle: all node files first (complete
+    registry), then relation files. Duplicate identifiers: last wins in
+    the registry, every row still becomes a node; strict mode fails
+    (label.py:51-61).
+    """
+    cfg = config or Config()
+    if relation_files:
+        cfg.store_node_identifiers = True
+
+    node_frames = []
+    plans: List[ColumnPlan] = []
+    for file_idx, (path, label) in enumerate(node_files):
+        header = _read_header(path, cfg.separator, cfg.escapechar)
+        entity = label or path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        plan = parse_header(
+            header, "node", entity,
+            enforce_schema=cfg.enforce_schema, id_type=cfg.id_type,
+            store_node_identifiers=cfg.store_node_identifiers, source=path,
+        )
+        plans.append(plan)
+        parsed = _parse_rows(_lines_with_index(spark, path), plan, cfg, path)
+        node_frames.append(
+            parsed.select(
+                F.lit(file_idx).alias("file_idx"),
+                "row_idx",
+                F.lit(plan.entity_str).alias("label"),
+                _ns_prefixed(F.col("ext_id"), plan.id_namespace).alias("key"),
+                "props_json",
+            )
+        )
+    all_nodes = node_frames[0]
+    for f in node_frames[1:]:
+        all_nodes = all_nodes.unionByName(f)
+
+    # dense internal ids in (file, row) order — reference counter parity
+    with_ids = assign_dense_ids(all_nodes, ["file_idx", "row_idx"]).cache()
+
+    # duplicate identifiers
+    if cfg.store_node_identifiers:
+        dups = (
+            with_ids.groupBy("key").agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 1)
+        )
+        if not cfg.skip_invalid_nodes:
+            sample = dups.limit(1).collect()
+            if sample:
+                raise SchemaError(
+                    f"Node identifier '{sample[0]['key']}' was used "
+                    f"multiple times"
+                )
+    registry = (
+        with_ids.groupBy("key").agg(F.max("internal_id").alias("internal_id"))
+    )  # last occurrence wins (max internal id == latest row)
+
+    nodes = with_ids.select("internal_id", "label", "key", "props_json")
+    node_counts = nodes.groupBy("label").agg(F.count("*").alias("n"))
+
+    edges = None
+    skipped = 0
+    edge_frames = []
+    for path, rtype in relation_files:
+        header = _read_header(path, cfg.separator, cfg.escapechar)
+        entity = rtype or path.rsplit("/", 1)[-1].rsplit(".", 1)[0]
+        plan = parse_header(
+            header, "relation", entity,
+            enforce_schema=cfg.enforce_schema, id_type=cfg.id_type,
+            source=path,
+        )
+        parsed = _parse_rows(_lines_with_index(spark, path), plan, cfg, path)
+        edge_frames.append(
+            parsed.select(
+                F.lit(plan.entity_str).alias("rel_type"),
+                _ns_prefixed(F.col("src_id"), plan.start_namespace).alias("src_key"),
+                _ns_prefixed(F.col("dst_id"), plan.end_namespace).alias("dst_key"),
+                "props_json",
+            )
+        )
+    if edge_frames:
+        all_edges = edge_frames[0]
+        for f in edge_frames[1:]:
+            all_edges = all_edges.unionByName(f)
+        reg_b = F.broadcast(registry)
+        resolved = all_edges.join(
+            reg_b.select(F.col("key").alias("src_key"),
+                         F.col("internal_id").alias("src_internal")),
+            "src_key", "left",
+        ).join(
+            reg_b.select(F.col("key").alias("dst_key"),
+                         F.col("internal_id").alias("dst_internal")),
+            "dst_key", "left",
+        )
+        bad = F.col("src_internal").isNull() | F.col("dst_internal").isNull()
+        if cfg.skip_invalid_edges:
+            skipped = resolved.filter(bad).count()
+            resolved = resolved.filter(~bad)
+        else:
+            sample = resolved.filter(bad).limit(1).collect()
+            if sample:
+                r = sample[0]
+                raise CSVError(
+                    "Relationship specified a non-existent identifier. "
+                    f"src: {r['src_key']}; dest: {r['dst_key']}"
+                )
+        edges = resolved.select(
+            "src_internal", "dst_internal", "rel_type", "props_json"
+        )
+    edge_counts = (
+        edges.groupBy("rel_type").agg(F.count("*").alias("n"))
+        if edges is not None else None
+    )
+    return BulkGraph(nodes, edges, registry, node_counts, edge_counts, skipped)

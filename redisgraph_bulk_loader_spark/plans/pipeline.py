@@ -108,13 +108,19 @@ def build_graph(
         if bad:
             raise ValueError(f"span-sequence violation in doc {bad[0]['doc_id']}")
 
-    # 2. extraction
-    mentions = extract_mentions(docs)
+    # 2. extraction — persisted: every downstream table derives from it,
+    # and without a persist each write action would re-run the Arrow
+    # extractor over the full corpus.
+    mentions = extract_mentions(docs).persist()
 
     # 3. linking (broadcast alias join, then LSH for leftovers)
     linked0 = link_mentions(mentions, aliases)
     aliases_aug = _augment_aliases_with_lsh(linked0, aliases, lsh_threshold)
-    linked = link_mentions(mentions, aliases_aug)
+    # No leftovers -> the first join IS the final linking; skip the
+    # second broadcast join entirely.
+    linked = linked0 if aliases_aug is aliases else link_mentions(
+        mentions, aliases_aug
+    )
 
     # 4. canonicalization via connected components
     remap = canonicalize(aliases_aug)
@@ -152,8 +158,9 @@ def build_graph(
             F.col("obj_canon").alias("obj"),
             F.col("obj_kind"),
         )
+        .persist()
     )
-    distinct_triples = triples.dropDuplicates(["subj", "pred", "obj"])
+    distinct_triples = triples.dropDuplicates(["subj", "pred", "obj"]).persist()
 
     # 5. node registry: every canonical entity/place/media object
     node_ext = (
@@ -169,7 +176,7 @@ def build_graph(
     )
     registry = build_node_registry(
         node_ext, ["ext_id"], ["label", "ext_id"]
-    )
+    ).persist()
     nodes = node_ext.join(registry, "ext_id").select("internal_id", "label", "ext_id")
 
     # label / reltype registries (tiny dims, mirror header tokens)

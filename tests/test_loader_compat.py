@@ -1,0 +1,306 @@
+"""Loader-compat end-to-end tests: the reference's pytest semantics
+(test_bulk_loader.py golden behaviors, via FIXTURES.md §2) reproduced
+over bulk_insert() DataFrames.
+"""
+
+import json
+import os
+
+import pytest
+
+from redisgraph_bulk_loader_spark.config import Config
+from redisgraph_bulk_loader_spark.exceptions import CSVError, SchemaError
+from redisgraph_bulk_loader_spark.plans.loader import bulk_insert
+
+PERSONS = [
+    ("Roi Lipman", 32, "male", "married"),
+    ("Alon Fital", 32, "male", "married"),
+    ("Ailon Velger", 32, "male", "married"),
+    ("Ori Laslo", 32, "male", "married"),
+    ("Boaz Arad", 31, "male", "married"),
+    ("Omri Traub", 33, "male", "single"),
+    ("Tal Doron", 32, "male", "single"),
+    ("Lucy Yanfital", 30, "female", "married"),
+    ("Jane Chernomorin", 31, "female", "married"),
+    ("Shelly Laslo Rooz", 31, "female", "married"),
+    ("Valerie Abigail Arad", 31, "female", "married"),
+    ("Gal Derriere", 26, "male", "single"),
+    ("Mor Yesharim", 31, "female", "married"),
+    ("Noam Nativ", 34, "male", "single"),
+]
+COUNTRIES = ["USA", "Prague", "Japan", "Greece", "Canada", "China",
+             "Amsterdam", "Andora", "Kazakhstan", "Russia", "Germany",
+             "Italy", "Thailand"]
+KNOWS = [
+    ("Roi Lipman", "Alon Fital", "friend"),
+    ("Roi Lipman", "Ailon Velger", "friend"),
+    ("Roi Lipman", "Ori Laslo", "friend"),
+    ("Roi Lipman", "Boaz Arad", "friend"),
+    ("Roi Lipman", "Omri Traub", "friend"),
+    ("Roi Lipman", "Tal Doron", "friend"),
+    ("Alon Fital", "Lucy Yanfital", "married"),
+    ("Alon Fital", "Gal Derriere", "friend"),
+    ("Alon Fital", "Mor Yesharim", "friend"),
+    ("Ailon Velger", "Jane Chernomorin", "married"),
+    ("Ailon Velger", "Noam Nativ", "friend"),
+    ("Ori Laslo", "Shelly Laslo Rooz", "married"),
+    ("Boaz Arad", "Valerie Abigail Arad", "friend"),
+]
+VISITED = [
+    ("Roi Lipman", "USA", "business"),
+    ("Roi Lipman", "Prague", "both"),
+    ("Alon Fital", "Prague", "both"),
+    ("Alon Fital", "USA", "both"),
+    ("Ori Laslo", "China", "business"),
+]
+
+
+def _w(tmp_path, name, text):
+    p = os.path.join(str(tmp_path), name)
+    with open(p, "w") as f:
+        f.write(text)
+    return p
+
+
+@pytest.fixture(scope="module")
+def social(spark, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("social")
+    person = _w(tmp, "Person.csv", "name,age,gender,status\n" + "".join(
+        f"{n},{a},{g},{s}\n" for n, a, g, s in PERSONS))
+    country = _w(tmp, "Country.csv", "name\n" + "".join(
+        f"{c}\n" for c in COUNTRIES))
+    knows = _w(tmp, "KNOWS.csv", "src,dest,relation\n" + "".join(
+        f"{a},{b},{r}\n" for a, b, r in KNOWS))
+    visited = _w(tmp, "VISITED.csv", "src_person,dest_country,purpose\n"
+                 + "".join(f"{a},{b},{p}\n" for a, b, p in VISITED))
+    return bulk_insert(
+        spark,
+        [(person, None), (country, None)],
+        [(knows, None), (visited, None)],
+    )
+
+
+class TestSocialGraph:
+    def test_counts(self, social):
+        counts = {r.label: r.n for r in social.node_counts.collect()}
+        assert counts == {"Person": 14, "Country": 13}
+        ec = {r.rel_type: r.n for r in social.edge_counts.collect()}
+        assert ec == {"KNOWS": 13, "VISITED": 5}
+
+    def test_person_properties_typed(self, social):
+        rows = social.nodes.filter("label = 'Person'").collect()
+        props = {r.key: json.loads(r.props_json) for r in rows}
+        assert props["Roi Lipman"] == {
+            "name": '"Roi Lipman"', "age": "32", "gender": '"male"',
+            "status": '"married"',
+        }  # age inferred long; others strings
+
+    def test_knows_triples(self, social):
+        # golden KNOWS set (test_bulk_loader.py:150-165 semantics)
+        reg = {r.key: r.internal_id for r in social.registry.collect()}
+        inv = {v: k for k, v in reg.items()}
+        got = {
+            (inv[r.src_internal], inv[r.dst_internal],
+             json.loads(r.props_json)["relation"])
+            for r in social.edges.filter("rel_type = 'KNOWS'").collect()
+        }
+        expected = {(a, b, f'"{r}"') for a, b, r in KNOWS}
+        assert got == expected
+
+    def test_dense_ids_in_file_row_order(self, social):
+        # Person file processed first: persons get ids 0..13 in row
+        # order, countries 14..26 (query_buffer.py:12-23 counter parity)
+        reg = {r.key: r.internal_id for r in social.registry.collect()}
+        assert reg["Roi Lipman"] == 0
+        assert reg["Noam Nativ"] == 13
+        assert reg["USA"] == 14
+        assert reg["Thailand"] == 26
+
+    def test_batch_invariance(self, spark, social, tmp_path):
+        # partition-count analogue of --max-token-count 1 identity
+        # (test_bulk_loader.py:294-357): same ids regardless of layout
+        reg1 = {r.key: r.internal_id for r in social.registry.collect()}
+        # re-run with different shuffle partitions
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        try:
+            p = _w(tmp_path, "Person.csv", "name,age,gender,status\n" + "".join(
+                f"{n},{a},{g},{s}\n" for n, a, g, s in PERSONS))
+            c = _w(tmp_path, "Country.csv", "name\n" + "".join(
+                f"{x}\n" for x in COUNTRIES))
+            g2 = bulk_insert(spark, [(p, None), (c, None)],
+                             [])
+            reg_rows = g2.nodes.select("key", "internal_id").collect()
+            reg2 = {r.key: r.internal_id for r in reg_rows}
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+        assert reg1 == reg2
+
+
+class TestLoaderSemantics:
+    def test_private_identifier(self, spark, tmp_path):
+        # test_bulk_loader.py:209-248
+        p = _w(tmp_path, "priv.csv", "_identifier,nodename\n0,a\n5,b\n3,c\n")
+        r = _w(tmp_path, "rel.csv", "src,dest\n0,3\n5,3\n")
+        g = bulk_insert(spark, [(p, None)], [(r, None)])
+        props = [json.loads(x.props_json) for x in g.nodes.collect()]
+        assert all("_identifier" not in pr for pr in props)
+        assert sorted(pr["nodename"] for pr in props) == ['"a"', '"b"', '"c"']
+        assert g.edges.count() == 2
+
+    def test_reused_identifier_fails_with_edges(self, spark, tmp_path):
+        # test_bulk_loader.py:250-292
+        p = _w(tmp_path, "dup.csv", "_identifier,nodename\n0,a\n5,b\n0,c\n")
+        r = _w(tmp_path, "rel2.csv", "src,dest\n0,5\n")
+        with pytest.raises(SchemaError):
+            bulk_insert(spark, [(p, None)], [(r, None)])
+
+    def test_reused_identifier_ok_nodes_only(self, spark, tmp_path):
+        p = _w(tmp_path, "dup2.csv", "_identifier,nodename\n0,a\n5,b\n0,c\n")
+        g = bulk_insert(spark, [(p, None)])
+        assert g.nodes.count() == 3
+
+    def test_reused_identifier_skip_mode_last_wins(self, spark, tmp_path):
+        p = _w(tmp_path, "dup3.csv", "_identifier,nodename\n0,a\n5,b\n0,c\n")
+        r = _w(tmp_path, "rel3.csv", "src,dest\n0,5\n")
+        cfg = Config(skip_invalid_nodes=True)
+        g = bulk_insert(spark, [(p, None)], [(r, None)], cfg)
+        assert g.nodes.count() == 3  # every row still a node
+        reg = {x.key: x.internal_id for x in g.registry.collect()}
+        assert reg["0"] == 2  # last occurrence wins
+
+    def test_unknown_endpoint_strict(self, spark, tmp_path):
+        # test_bulk_loader.py:359-419
+        p = _w(tmp_path, "n.csv", "_id,v\n0,a\n1,b\n")
+        r = _w(tmp_path, "r.csv", "src,dest\n0,99\n")
+        with pytest.raises(CSVError):
+            bulk_insert(spark, [(p, None)], [(r, None)])
+
+    def test_unknown_endpoint_skip(self, spark, tmp_path):
+        p = _w(tmp_path, "n2.csv", "_id,v\n0,a\n1,b\n")
+        r = _w(tmp_path, "r2.csv", "src,dest\n0,99\n0,1\n")
+        cfg = Config(skip_invalid_edges=True)
+        g = bulk_insert(spark, [(p, None)], [(r, None)], cfg)
+        assert g.skipped_edges == 1
+        assert g.edges.count() == 1
+
+    def test_mixed_type_column(self, spark, tmp_path):
+        # test_bulk_loader.py:421-467 per-cell inference
+        p = _w(tmp_path, "m.csv",
+               "numeric,mixed,bool\n0.2,string_prop_1,True\n5,notnull,False\n"
+               "7,100,False\n")
+        g = bulk_insert(spark, [(p, None)])
+        rows = sorted(
+            (json.loads(r.props_json) for r in g.nodes.collect()),
+            key=lambda d: d["numeric"],
+        )
+        assert [d["numeric"] for d in rows] == ["0.2", "5", "7"]
+        assert [d["mixed"] for d in rows] == ['"string_prop_1"', '"notnull"', "100"]
+        assert [d["bool"] for d in rows] == ["true", "false", "false"]
+
+    def test_utf8(self, spark, tmp_path):
+        p = _w(tmp_path, "u.csv", "id,utf8_str_ß\n0,Straße\n1,中國的\n")
+        g = bulk_insert(spark, [(p, None)])
+        vals = sorted(
+            json.loads(r.props_json)["utf8_str_ß"] for r in g.nodes.collect()
+        )
+        assert vals == ['"Straße"', '"中國的"']
+
+    def test_custom_separator(self, spark, tmp_path):
+        p = _w(tmp_path, "sep.csv", "a|b\n1|x\n")
+        g = bulk_insert(spark, [(p, None)], config=Config(separator="|"))
+        assert json.loads(g.nodes.collect()[0].props_json) == {
+            "a": "1", "b": '"x"'}
+
+    def test_enforced_schema_string_keeps_zero(self, spark, tmp_path):
+        # test_bulk_loader.py:548-575
+        p = _w(tmp_path, "s.csv",
+               "str_col:STRING,num_col:INT,bool_col:BOOLEAN\n0,0,True\n1,1,False\n")
+        cfg = Config(enforce_schema=True)
+        g = bulk_insert(spark, [(p, None)], config=cfg)
+        rows = sorted(
+            (json.loads(r.props_json) for r in g.nodes.collect()),
+            key=lambda d: d["num_col"],
+        )
+        assert rows[0] == {"str_col": '"0"', "num_col": "0", "bool_col": "true"}
+
+    def test_enforced_schema_violation_raises(self, spark, tmp_path):
+        # test_bulk_loader.py:577-596
+        p = _w(tmp_path, "bad.csv", "num_col:INT\nstr\n")
+        with pytest.raises(Exception) as ei:
+            bulk_insert(spark, [(p, None)], config=Config(enforce_schema=True))
+        assert "SchemaError" in str(ei.value) or isinstance(ei.value, SchemaError)
+
+    def test_ignore_column_absent(self, spark, tmp_path):
+        # test_bulk_loader.py:598-625
+        p = _w(tmp_path, "ig.csv",
+               "str_col:STRING,ignore_col:IGNORE\nkeep,drop\n")
+        g = bulk_insert(spark, [(p, None)], config=Config(enforce_schema=True))
+        assert json.loads(g.nodes.collect()[0].props_json) == {
+            "str_col": '"keep"'}
+
+    def test_null_cell_property_absent(self, spark, tmp_path):
+        # test_bulk_loader.py:627-654
+        p = _w(tmp_path, "nl.csv", "str_col,mixed_col\nstr1,True\nstr2,\n")
+        g = bulk_insert(spark, [(p, None)])
+        by_str = {
+            json.loads(r.props_json)["str_col"]: json.loads(r.props_json)
+            for r in g.nodes.collect()
+        }
+        assert "mixed_col" in by_str['"str1"']
+        assert "mixed_col" not in by_str['"str2"']
+
+    def test_id_namespaces(self, spark, tmp_path):
+        # test_bulk_loader.py:656-710: same ext id "0" in two namespaces
+        u = _w(tmp_path, "User.csv", "id:ID(User),name:STRING\n0,Jeffrey\n1,Filipe\n")
+        po = _w(tmp_path, "Post.csv", "id:ID(Post),views:INT\n0,20\n1,40\n")
+        au = _w(tmp_path, "AUTHOR.csv", ":START_ID(User),:END_ID(Post)\n0,0\n1,1\n")
+        cfg = Config(enforce_schema=True)
+        g = bulk_insert(spark, [(u, None), (po, None)], [(au, None)], cfg)
+        reg = {r.key: r.internal_id for r in g.registry.collect()}
+        assert set(reg) == {"User.0", "User.1", "Post.0", "Post.1"}
+        edges = sorted(
+            (r.src_internal, r.dst_internal) for r in g.edges.collect()
+        )
+        assert edges == [(0, 2), (1, 3)]
+        # named ID column stored as a property — STRING under the
+        # default id_type (ID_STRING, entity_file.py:293-295)
+        props = {r.key: json.loads(r.props_json) for r in g.nodes.collect()}
+        assert props["User.0"]["id"] == '"0"'
+        assert props["Post.1"]["views"] == "40"
+
+    def test_integer_ids(self, spark, tmp_path):
+        # test_bulk_loader.py:884-941: id property stored as long
+        u = _w(tmp_path, "N.csv", "id:ID,name:STRING\n0,a\n1,b\n")
+        cfg = Config(enforce_schema=True, id_type="INTEGER")
+        g = bulk_insert(spark, [(u, None)], config=cfg)
+        props = [json.loads(r.props_json) for r in g.nodes.collect()]
+        assert sorted(p["id"] for p in props) == ["0", "1"]  # long literals
+
+    def test_array_properties(self, spark, tmp_path):
+        # test_bulk_loader.py:712-773
+        p = _w(tmp_path, "arr.csv",
+               "str_col|arr_col\nstr1|[1, 0.2, 'nested_str', False]\n"
+               "str2|['prop1', ['nested_1', 'nested_2'], 5]\n")
+        g = bulk_insert(spark, [(p, None)], config=Config(separator="|"))
+        by_str = {
+            json.loads(r.props_json)["str_col"]: json.loads(r.props_json)["arr_col"]
+            for r in g.nodes.collect()
+        }
+        assert by_str['"str1"'] == '[1,0.2,"nested_str",false]'
+        assert by_str['"str2"'] == '["prop1",["nested_1","nested_2"],5]'
+
+    def test_array_schema_violation(self, spark, tmp_path):
+        # test_bulk_loader.py:775-803
+        p = _w(tmp_path, "arrb.csv", "a:ARRAY\nnot_an_array\n")
+        with pytest.raises(Exception) as ei:
+            bulk_insert(spark, [(p, None)], config=Config(enforce_schema=True))
+        assert "SchemaError" in str(ei.value) or isinstance(ei.value, SchemaError)
+
+    def test_quoted_values_literal(self, spark, tmp_path):
+        # example2/Robots.csv: quotes kept, quoted numeric is a string
+        p = _w(tmp_path, "Robots.csv", '"name"\n"Beebop"\n"30165"\n')
+        g = bulk_insert(spark, [(p, None)])
+        vals = sorted(
+            json.loads(r.props_json)['"name"'] for r in g.nodes.collect()
+        )
+        assert vals == ['"\\"30165\\""', '"\\"Beebop\\""']
