@@ -266,6 +266,72 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_kg_salted_join(spark, sf_dir):
+    """Skew-path endpoint join (salted, non-broadcast) must equal the
+    plain join the oracle runs."""
+    from redisgraph_bulk_loader_spark.operators.skew import salted_join
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    joined = salted_join(
+        orders.select("o_orderkey", "o_custkey"),
+        customer.select(F.col("c_custkey").alias("o_custkey"), "c_nationkey"),
+        ["o_custkey"],
+        salt=8,
+    )
+    return joined.groupBy("c_nationkey").agg(F.count("*").alias("n_orders"))
+
+
+def _q_kg_connected_components(spark, sf_dir):
+    """CC over the customer co-nation graph is not SQL-expressible
+    (iterative) — rows-only check; pytest pins correctness vs a
+    union-find oracle."""
+    from redisgraph_bulk_loader_spark.canon import connected_components
+
+    customer = _t(spark, sf_dir, "customer").limit(200)
+    # edges: consecutive custkeys within a nation form chains
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("c_nationkey").orderBy("c_custkey")
+    edges = (
+        customer.withColumn("_next", F.lead("c_custkey").over(w))
+        .filter(F.col("_next").isNotNull())
+        .select(F.col("c_custkey").alias("u"), F.col("_next").alias("v"))
+    )
+    return connected_components(edges).select(
+        "node", F.col("component").alias("comp")
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary payloads -> fixed-width features
+    (stub decode; rows-only)."""
+    from redisgraph_bulk_loader_spark.operators.multimodal import (
+        extract_media_features,
+        synthesize_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    refs = docs.select(
+        F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        )
+    )
+    media = synthesize_media(spark, refs)
+    return extract_media_features(media).select(
+        "media_ref", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
+def _q_doc_bpe_tokens(spark, sf_dir):
+    from redisgraph_bulk_loader_spark.functions.text import bpe_ish_token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
 def _q_events_sessionize(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     s = sessionize_events(events, gap_minutes=30)
@@ -311,6 +377,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": _q_ann_lsh,
         "events_sessionize": _q_events_sessionize,
         "events_windowed": _q_events_windowed,
+        "kg_salted_join": _q_kg_salted_join,
+        "kg_connected_components": _q_kg_connected_components,
+        "media_features": _q_media_features,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
     }
 
 
@@ -473,6 +543,24 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY query_id
                                         ORDER BY cs DESC, neighbor_id) AS rank
               FROM scored) WHERE rank <= 5
+        """,
+        "kg_salted_join": """
+            SELECT c.c_nationkey, COUNT(*) AS n_orders
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_nationkey
+        """,
+        "doc_bpe_tokens": r"""
+            SELECT doc_id,
+              CASE WHEN length(trim(t3)) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(t3), '\s+')) END
+                AS n_bpe_tokens
+            FROM (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(text,
+                  '([0-9])([a-zA-Z])', '\1 \2', 'g'),
+                  '([a-zA-Z])([0-9])', '\1 \2', 'g'),
+                  '([^\sa-zA-Z0-9])', ' \1 ', 'g') AS t3
+              FROM documents)
         """,
         "events_sessionize": """
             WITH flagged AS (

@@ -7,8 +7,11 @@ per-row pack loop at /root/reference/redisgraph_bulk_loader/
 label.py:63-111 — one input row in, typed graph elements out; here one
 document in, N candidate triples out, so the operator is UDTF-shaped).
 
-Execution shape: ``mapInPandas`` — Arrow batches in, regex extraction
-vectorized inside the batch, exploded triple rows out. No shuffle: at
+Execution shape: spans are exploded JVM-side (codegen), then a
+``mapInArrow`` stage runs ``pyarrow.compute.extract_regex`` — true C++
+vectorized RE2 over Arrow buffers, no Python objects and no pandas on
+the hot path (pandas ``.str`` methods loop Python-level over object
+arrays and were the measured memory-bandwidth hot spot). No shuffle: at
 10^12 docs this stage is embarrassingly parallel per input split and
 its cost is pure CPU; the plan keeps it fused with the scan.
 
@@ -72,37 +75,93 @@ def extract_mentions(documents: DataFrame) -> DataFrame:
     """documents(doc_id, spans) -> mention rows (MENTION_SCHEMA).
 
     Media spans emit (entity-decoded-from-ref, has_media, media_ref).
+
+    Spans are exploded JVM-side first (codegen), so the Arrow boundary
+    carries FLAT string columns. Inside ``mapInArrow`` every operation
+    is a pyarrow.compute kernel (C++ RE2 ``extract_regex``, boolean
+    masks, filters) — zero Python objects per row. Rule precedence
+    matches ``extract_mentions_from_text`` (the row-wise twin the tests
+    compare against) by masking out already-matched rows between rules.
     """
+    flat = documents.select(
+        F.col("doc_id"), F.explode("spans").alias("_s")
+    ).select(
+        "doc_id",
+        F.col("_s.kind").alias("kind"),
+        F.col("_s.text").alias("text"),
+        F.col("_s.media_ref").alias("media_ref"),
+        F.col("_s.offset").alias("offset"),
+    )
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {k.name: [] for k in MENTION_SCHEMA.fields}
+    def run(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-            def emit(did, off, s, p, o, k):
-                out["doc_id"].append(did)
-                out["span_offset"].append(off)
-                out["subj_surface"].append(s)
-                out["pred"].append(p)
-                out["obj_surface"].append(o)
-                out["obj_kind"].append(k)
+        out_names = [f.name for f in MENTION_SCHEMA.fields]
 
-            for did, spans in zip(pdf["doc_id"], pdf["spans"]):
-                # Process in offset order regardless of storage order.
-                for span in sorted(spans, key=lambda x: x["offset"]):
-                    off = int(span["offset"])
-                    if span["kind"] == "media":
-                        m = _MEDIA_RE.match(span["media_ref"] or "")
-                        if m:
-                            emit(did, off, m.group(1), "has_media",
-                                 span["media_ref"], "media")
-                    else:
-                        for s, p, o, k in extract_mentions_from_text(
-                            span["text"] or ""
-                        ):
-                            emit(did, off, s, p, o, k)
-            yield pd.DataFrame(out)
+        def mention_batch(doc_id, offset, subj, pred_arr, obj, kind_arr):
+            return pa.RecordBatch.from_arrays(
+                [doc_id, pc.cast(offset, pa.int32()), subj, pred_arr, obj,
+                 kind_arr],
+                names=out_names,
+            )
 
-    return documents.mapInPandas(run, schema=MENTION_SCHEMA)
+        for batch in batches:
+            tbl = pa.Table.from_batches([batch])
+            outs = []
+
+            is_media = pc.equal(tbl.column("kind"), "media")
+            media = tbl.filter(is_media)
+            if media.num_rows:
+                ext = pc.extract_regex(
+                    media.column("media_ref"), r"^img://(?P<e>[^/]+)/\d+$"
+                )
+                hit = pc.is_valid(ext)
+                if pc.any(hit).as_py():
+                    m = media.filter(hit)
+                    ents = pc.struct_field(ext.combine_chunks().filter(
+                        hit.combine_chunks()), "e")
+                    n = m.num_rows
+                    outs.append(mention_batch(
+                        m.column("doc_id").combine_chunks(),
+                        m.column("offset").combine_chunks(),
+                        ents,
+                        pa.array(["has_media"] * n),
+                        m.column("media_ref").combine_chunks(),
+                        pa.array(["media"] * n),
+                    ))
+
+            texts = tbl.filter(pc.invert(is_media))
+            remaining = texts
+            for rx, pred, okind in _RULES:
+                if remaining.num_rows == 0:
+                    break
+                # convert the python regex to RE2 named groups
+                pat = rx.pattern.replace("(.+?)", "(?P<g>.+?)", 1)
+                pat = pat.replace("(.+?)", "(?P<h>.+?)", 1)
+                pat = pat.replace("(\\w+)", "(?:\\w+)")
+                ext = pc.extract_regex(remaining.column("text"), pat)
+                hit = pc.is_valid(ext)
+                if pc.any(hit).as_py():
+                    hc = hit.combine_chunks()
+                    h = remaining.filter(hit)
+                    ex = ext.combine_chunks().filter(hc)
+                    n = h.num_rows
+                    outs.append(mention_batch(
+                        h.column("doc_id").combine_chunks(),
+                        h.column("offset").combine_chunks(),
+                        pc.struct_field(ex, "g"),
+                        pa.array([pred] * n),
+                        pc.struct_field(ex, "h"),
+                        pa.array([okind] * n),
+                    ))
+                    remaining = remaining.filter(
+                        pc.fill_null(pc.invert(hit), True)
+                    )
+            for o in outs:
+                yield o
+
+    return flat.mapInArrow(run, schema=MENTION_SCHEMA)
 
 
 def validate_span_sequences(documents: DataFrame) -> Column:

@@ -18,15 +18,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.hashing import band_buckets, char_shingles, jaccard, minhash_signature
+from ..functions.hashing import (
+    band_buckets,
+    char_shingles,
+    jaccard,
+    minhash_signature_df,
+)
 
 
 def minhash_signatures(
     df: DataFrame, text_col: str, *, num_hashes: int = 32, shingle_n: int = 3
 ) -> DataFrame:
-    return df.withColumn("_shingles", char_shingles(F.col(text_col), shingle_n)).withColumn(
-        "_sig", minhash_signature(F.col("_shingles"), num_hashes)
+    """df + (_shingles, _sig) via the explode/codegen MinHash path."""
+    with_sh = df.withColumn("_shingles", char_shingles(F.col(text_col), shingle_n))
+    # one signature per distinct text (same text => same signature),
+    # joined back — keeps the hash projection small and codegen'd
+    sigs = minhash_signature_df(
+        with_sh.select(F.col(text_col).alias("_mh_key"), "_shingles")
+        .dropDuplicates(["_mh_key"]),
+        ["_mh_key"],
+        "_shingles",
+        num_hashes,
     )
+    return with_sh.join(sigs, with_sh[text_col] == sigs["_mh_key"]).drop("_mh_key")
 
 
 def lsh_candidate_pairs(

@@ -23,7 +23,7 @@ from ..functions.hashing import (
     band_buckets,
     hamming64,
     jaccard,
-    minhash_signature,
+    minhash_signature_df,
     simhash_df,
     word_shingles,
 )
@@ -103,11 +103,10 @@ def minhash_lsh_dedup_pairs(
     # deduped as bare key pairs BEFORE the shingle arrays rejoin, so the
     # pair-dedup shuffle moves 2 ids per row instead of 2 full shingle
     # sets per band collision.
-    banded = base.select(
+    sigs = minhash_signature_df(base, ["_id"], "_sh", num_hashes)
+    banded = sigs.select(
         "_id",
-        F.explode(
-            band_buckets(minhash_signature(F.col("_sh"), num_hashes), bands, rows)
-        ).alias("_bb"),
+        F.explode(band_buckets(F.col("_sig"), bands, rows)).alias("_bb"),
     ).select("_id", "_bb.band", "_bb.bucket")
     pairs = (
         banded.alias("a")

@@ -1,0 +1,183 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata.
+
+Media payloads are ``binary`` columns with a typed metadata struct
+(mime, width/height or duration, codec). Real decode libraries are not
+in this container, so the decode kernels are deterministic fakes behind
+``_decode_image_stub`` / ``_decode_audio_stub`` (clearly marked) — the
+Spark-side plumbing is real: schemas, Arrow batch shapes, mapInPandas
+signatures, partition behavior, and the feature-extraction join path
+are exactly what a production decode would use; swapping the stub for
+PIL/ffmpeg changes one function.
+
+Scale notes: decode is shuffle-free mapInPandas over the media table;
+``spark.sql.files.maxPartitionBytes`` bounds the bytes per task, and
+binary payloads never enter a shuffle — features (small fixed-width
+vectors) do.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("mime", StringType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", IntegerType(), True),
+        StructField("payload", BinaryType(), False),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("mime", StringType(), False),
+        StructField("n_bytes", LongType(), False),
+        StructField("feature", ArrayType(FloatType(), False), False),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("frame_payload", BinaryType(), False),
+    ]
+)
+
+FEATURE_DIM = 16
+
+
+def synthesize_media(
+    spark: SparkSession, media_refs: DataFrame, *, ref_col: str = "media_ref"
+) -> DataFrame:
+    """Deterministic fake media table for the refs in a corpus: payload
+    bytes derive from sha256 of the ref (stable across runs), metadata
+    alternates image/audio by hash parity."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in MEDIA_SCHEMA.fields}
+            for ref in pdf[ref_col]:
+                h = hashlib.sha256(ref.encode()).digest()
+                is_img = h[0] % 2 == 0
+                payload = (h * ((h[1] % 7) + 2))[: 64 + h[2]]
+                out["media_ref"].append(ref)
+                out["mime"].append("image/fake" if is_img else "audio/fake")
+                out["width"].append(16 + h[3] % 64 if is_img else None)
+                out["height"].append(16 + h[4] % 64 if is_img else None)
+                out["duration_ms"].append(None if is_img else 1000 + h[5] * 10)
+                out["payload"].append(payload)
+            yield pd.DataFrame(out)
+
+    return media_refs.select(ref_col).distinct().mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+def _decode_image_stub(payload: bytes) -> List[float]:
+    """STUB decode: a real implementation would PIL-open ``payload`` and
+    produce pixel statistics / an embedding. The fake is deterministic
+    in the payload bytes so tests can assert exact values."""
+    h = hashlib.sha256(payload).digest()
+    return [
+        struct.unpack("<H", h[2 * i: 2 * i + 2])[0] / 65535.0
+        for i in range(FEATURE_DIM)
+    ]
+
+
+def _decode_audio_stub(payload: bytes) -> List[float]:
+    """STUB decode: a real implementation would ffmpeg-decode and
+    compute spectral features."""
+    h = hashlib.sha256(b"audio:" + payload).digest()
+    return [
+        struct.unpack("<H", h[2 * i: 2 * i + 2])[0] / 65535.0
+        for i in range(FEATURE_DIM)
+    ]
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """media table -> (media_ref, mime, n_bytes, feature[16]).
+
+    Arrow-batched; payload bytes stay within the task (never shuffled);
+    output features are fixed-width floats.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for mime, payload in zip(pdf["mime"], pdf["payload"]):
+                b = bytes(payload)
+                if mime.startswith("image/"):
+                    feats.append(_decode_image_stub(b))
+                else:
+                    feats.append(_decode_audio_stub(b))
+            yield pd.DataFrame(
+                {
+                    "media_ref": pdf["media_ref"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(bytes(p)) for p in pdf["payload"]],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def sample_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
+    """Video/audio frame sampling plumbing: one output row per sampled
+    frame (UDTF-shaped 1->N). The frame payload is a deterministic
+    slice of the media payload — a real implementation would seek and
+    decode at each timestamp."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {f.name: [] for f in FRAME_SCHEMA.fields}
+            for ref, dur, payload in zip(
+                pdf["media_ref"], pdf["duration_ms"], pdf["payload"]
+            ):
+                if pd.isna(dur):
+                    continue
+                b = bytes(payload)
+                n_frames = max(1, int(dur) // every_ms)
+                for i in range(min(n_frames, 32)):
+                    lo = (i * 7) % max(len(b) - 8, 1)
+                    out["media_ref"].append(ref)
+                    out["frame_idx"].append(i)
+                    out["frame_payload"].append(b[lo: lo + 8])
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
+def media_dedup_exact(media: DataFrame) -> DataFrame:
+    """Exact media dedup by payload hash — JVM-side sha2 over binary,
+    one survivor per digest (smallest media_ref)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("_digest").orderBy("media_ref")
+    return (
+        media.withColumn("_digest", F.sha2(F.col("payload"), 256))
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk", "_digest")
+    )

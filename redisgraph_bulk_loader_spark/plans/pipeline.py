@@ -113,8 +113,10 @@ def build_graph(
     # extractor over the full corpus.
     mentions = extract_mentions(docs).persist()
 
-    # 3. linking (broadcast alias join, then LSH for leftovers)
-    linked0 = link_mentions(mentions, aliases)
+    # 3. linking (broadcast alias join, then LSH for leftovers).
+    # linked0 is persisted: the leftover probe reads it twice (subj and
+    # obj branches) and the final triples derive from it.
+    linked0 = link_mentions(mentions, aliases).persist()
     aliases_aug = _augment_aliases_with_lsh(linked0, aliases, lsh_threshold)
     # No leftovers -> the first join IS the final linking; skip the
     # second broadcast join entirely.
