@@ -81,7 +81,10 @@ def connected_components(
     )
     prev = None
     for _ in range(max_iter):
-        e = _small_star(_large_star(e)).localCheckpoint()
+        # lazy checkpoint: the fingerprint action below both materializes
+        # the round's result and measures convergence — one job per
+        # round instead of two (eager-checkpoint + fingerprint)
+        e = _small_star(_large_star(e)).localCheckpoint(eager=False)
         fp = _fingerprint(e)
         if fp == prev:
             break
