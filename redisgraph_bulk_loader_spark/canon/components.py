@@ -62,23 +62,66 @@ def _fingerprint(e: DataFrame):
     return (row["n"], row["h"])
 
 
+def _driver_union_find(pairs) -> list:
+    """Union-find with union-by-min: the root of a component is always
+    its minimum node id. Returns [(node, component)]."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for u, v in pairs:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    return [(n, find(n)) for n in parent]
+
+
+#: below this many distinct edges the distributed star loop is pure
+#: overhead (each round is several shuffle jobs); a driver union-find
+#: answers in milliseconds. Alias vocabularies sit far under this.
+DRIVER_CC_THRESHOLD = 100_000
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "u",
     dst: str = "v",
     *,
     max_iter: int = 30,
+    driver_threshold: int = DRIVER_CC_THRESHOLD,
 ) -> DataFrame:
     """edges(src,dst: long) -> (node: long, component: long) where
     component is the minimum node id in the component. Covers every
     node that appears in at least one edge; isolated nodes are the
-    caller's coalesce."""
+    caller's coalesce.
+
+    Size-gated: at or below ``driver_threshold`` distinct edges the
+    component assignment is computed with a driver-side union-find
+    (dim-scale sameAs graphs — the common KG-canonicalization case);
+    above it the O(log^2 n) distributed star loop runs. Pass
+    ``driver_threshold=0`` to force the distributed path."""
+    spark = edges.sparkSession
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    n_edges = e.count()
+    if n_edges == 0:
+        return spark.createDataFrame([], "node long, component long")
+    if n_edges <= driver_threshold:
+        assignments = _driver_union_find(
+            (r["u"], r["v"]) for r in e.collect()
+        )
+        return spark.createDataFrame(assignments, "node long, component long")
     prev = None
     for _ in range(max_iter):
         # lazy checkpoint: the fingerprint action below both materializes

@@ -37,13 +37,17 @@ class Config:
     separator: str = ","
     quoting: int = 3  # csv.QUOTE_NONE
     store_node_identifiers: bool = False
-    escapechar: Optional[str] = None
+    # reference config.py:17 defaults to backslash escapes; the string
+    # "none" (the reference CLI's opt-out spelling) disables escaping
+    escapechar: Optional[str] = "\\"
 
     # derived byte sizes
     max_buffer_bytes: int = field(init=False)
     max_token_bytes: int = field(init=False)
 
     def __post_init__(self):
+        if isinstance(self.escapechar, str) and self.escapechar.lower() == "none":
+            self.escapechar = None
         if self.max_token_count > MAX_TOKEN_COUNT:
             raise ValueError(
                 f"max_token_count must be <= {MAX_TOKEN_COUNT}"

@@ -1,2 +1,7 @@
-from .alias import link_mentions, normalize_surface  # noqa: F401
+from .alias import (  # noqa: F401
+    augment_alias_dim,
+    build_alias_dim,
+    link_mentions,
+    normalize_surface,
+)
 from .lsh import lsh_candidate_pairs, minhash_signatures  # noqa: F401

@@ -38,18 +38,79 @@ def _normalize_py(s: str) -> str:
     return _re.sub(r"\s+", " ", s)
 
 
-def link_mentions(
-    mentions: DataFrame,
+#: above this many alias rows the driver-side collect+normalize loop
+#: (single-threaded python) loses to the distributed dropDuplicates
+#: path; below it the collect removes a shuffle + broadcast-build.
+COLLECT_DIM_THRESHOLD = 100_000
+
+
+def build_alias_dim(
     aliases: DataFrame,
     *,
+    collect_dim: bool | None = None,
+    alias_rows: int | None = None,
+) -> DataFrame:
+    """Build the normalized broadcast dim (_norm, canonical_id) ONCE per
+    run; pass the result to ``link_mentions(dim=...)`` so repeated link
+    passes (leftover probe, post-LSH relink) reuse the same broadcast
+    instead of rebuilding it — the measured per-run fixed cost.
+
+    ``collect_dim=None`` (auto) gates on size: the driver loop below
+    ``COLLECT_DIM_THRESHOLD`` rows, the distributed dropDuplicates path
+    above (a "low millions" alias dict must not run a single-threaded
+    driver loop)."""
+    spark = aliases.sparkSession
+    if collect_dim is None:
+        n = alias_rows if alias_rows is not None else aliases.count()
+        collect_dim = n <= COLLECT_DIM_THRESHOLD
+    if collect_dim:
+        # Collecting a small dim to pre-normalize costs the same memory
+        # class as broadcasting it, and removes a dropDuplicates shuffle
+        # plus one broadcast-exchange build from the critical path.
+        seen = {}
+        for row in aliases.select("surface", "canonical_id").collect():
+            seen.setdefault(_normalize_py(row["surface"]), row["canonical_id"])
+        return F.broadcast(
+            spark.createDataFrame(
+                list(seen.items()), schema="_norm string, canonical_id string"
+            )
+        )
+    return F.broadcast(
+        aliases.select(
+            normalize_surface(F.col("surface")).alias("_norm"),
+            F.col("canonical_id"),
+        ).dropDuplicates(["_norm"])
+    )
+
+
+def augment_alias_dim(dim: DataFrame, extra: DataFrame) -> DataFrame:
+    """dim (_norm, canonical_id) + extra raw (surface, canonical_id) ->
+    augmented broadcast dim. Existing dim entries win on normalized-key
+    collisions (they were the resolved mappings; extras are LSH
+    leftovers whose normalized forms missed the dim by construction)."""
+    extra_norm = extra.select(
+        normalize_surface(F.col("surface")).alias("_norm"),
+        F.col("canonical_id"),
+    )
+    combined = dim.unionByName(extra_norm).dropDuplicates(["_norm"])
+    return F.broadcast(combined)
+
+
+def link_mentions(
+    mentions: DataFrame,
+    aliases: DataFrame | None = None,
+    *,
     surface_cols=("subj_surface", "obj_surface"),
-    collect_dim: bool = True,
+    collect_dim: bool | None = None,
+    dim: DataFrame | None = None,
 ) -> DataFrame:
     """Resolve each surface column to ``<col>_cid`` via the broadcast
     alias dict; misses stay null for the LSH stage.
 
     ``aliases``: (surface, canonical_id). Media objects resolve to
-    themselves (the media_ref IS the object id).
+    themselves (the media_ref IS the object id). Pass a prebuilt
+    ``dim`` (from build_alias_dim) to reuse one broadcast across link
+    passes.
 
     Shape: normalization (regex-heavy, allocation-heavy) runs only on
     the DISTINCT surface vocabulary — at web scale the vocabulary is
@@ -58,27 +119,10 @@ def link_mentions(
     then does plain string-equality broadcast joins (codegen, minimal
     garbage). The distinct is a map-side-combined partial aggregate.
     """
-    spark = mentions.sparkSession
-    if collect_dim:
-        # The alias dictionary is broadcastable by contract; collecting
-        # it to the driver to pre-normalize costs the same memory class
-        # as broadcasting it, and removes a dropDuplicates shuffle plus
-        # one broadcast-exchange build from the critical path.
-        seen = {}
-        for row in aliases.select("surface", "canonical_id").collect():
-            seen.setdefault(_normalize_py(row["surface"]), row["canonical_id"])
-        dim = F.broadcast(
-            spark.createDataFrame(
-                list(seen.items()), schema="_norm string, canonical_id string"
-            )
-        )
-    else:
-        dim = F.broadcast(
-            aliases.select(
-                normalize_surface(F.col("surface")).alias("_norm"),
-                F.col("canonical_id"),
-            ).dropDuplicates(["_norm"])
-        )
+    if dim is None:
+        if aliases is None:
+            raise ValueError("link_mentions needs aliases or a prebuilt dim")
+        dim = build_alias_dim(aliases, collect_dim=collect_dim)
     # one scan over the fact table: explode all surface columns into a
     # single vocabulary pass (a union of selects would scan per column)
     vocab = mentions.select(

@@ -74,14 +74,20 @@ class GraphCatalog:
         stage: Optional[str] = None,
         input_fingerprint: Optional[str] = None,
     ) -> None:
-        """Write a table; record a snapshot + lineage entry."""
+        """Write a table; record a snapshot + lineage entry. The row
+        count piggybacks the write via ``observe`` — no re-read/count
+        job per written table."""
+        from pyspark.sql import Observation
+
         t0 = time.time()
-        writer = df.write.mode(mode)
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
+        writer = observed.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self.path(table))
         wall = time.time() - t0
-        n = self.spark.read.parquet(self.path(table)).count()
+        n = obs.get["n"]
         m = self._manifest()
         entry = m["tables"].get(table, {"snapshots": []})
         entry["snapshots"].append(

@@ -53,16 +53,18 @@ def ngram_jaccard_pairs(
     """Exact Jaccard-similar pairs (id_a < id_b, jaccard_sim) via the
     inverted-index join: |A ∩ B| from the shingle self-join, |A|,|B|
     from per-doc shingle counts. Stopword-grade shingles above
-    ``max_shingle_freq`` are dropped from *pair generation only* — at
-    web scale one universal shingle would otherwise produce a quadratic
-    reducer; this bound is the standard guard."""
+    ``max_shingle_freq`` are dropped BEFORE both the join and the size
+    counts (sizes must come from the same filtered shingle set as the
+    intersection, or jaccard_sim is underestimated) — at web scale one
+    universal shingle would otherwise produce a quadratic reducer; this
+    bound is the standard guard."""
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("_sh"),
     ).distinct()
-    sizes = sh.groupBy("_id").agg(F.count("*").alias("_sz"))
     freq = sh.groupBy("_sh").agg(F.count("*").alias("_f"))
     sh_f = sh.join(F.broadcast(freq.filter(F.col("_f") > max_shingle_freq)), "_sh", "left_anti")
+    sizes = sh_f.groupBy("_id").agg(F.count("*").alias("_sz"))
     inter = (
         sh_f.alias("a")
         .join(sh_f.alias("b"), "_sh")

@@ -43,6 +43,11 @@ def _salted_registry_join(
     return salted_edges.join(reg, [edge_key, "_salt"], "left").drop("_salt")
 
 
+#: above this many registry rows the broadcast would OOM executors at
+#: scale — auto mode switches to the salted shuffle join.
+BROADCAST_THRESHOLD_ROWS = 5_000_000
+
+
 def resolve_endpoints(
     edges: DataFrame,
     registry: DataFrame,
@@ -50,16 +55,32 @@ def resolve_endpoints(
     src_col: str = "src_id",
     dst_col: str = "dst_id",
     skip_invalid: bool = False,
-    broadcast_registry: bool = True,
+    broadcast_registry: Optional[bool] = None,
     salt: Optional[int] = None,
+    registry_rows: Optional[int] = None,
+    broadcast_threshold_rows: int = BROADCAST_THRESHOLD_ROWS,
+    eager_check: bool = False,
 ) -> DataFrame:
     """edges(+src_col,dst_col) x registry(ext_id, internal_id) ->
     edges + (src_internal, dst_internal).
 
     strict (skip_invalid=False): any unresolved endpoint raises
-    (reference: KeyError propagates). skip mode: unresolved edges are
-    dropped; callers can count them from the returned metrics columns.
+    (reference: KeyError propagates). By default the check is *inline*
+    (``raise_error`` fused into the projection, so validation
+    piggybacks the real action — no extra job); ``eager_check=True``
+    restores the fail-at-call-time behavior (extra job, dim-scale only).
+
+    Join strategy: ``broadcast_registry=None`` (auto) gates on registry
+    size — broadcast below ``broadcast_threshold_rows``, salted shuffle
+    join above (billions of nodes must never broadcast). Pass
+    ``registry_rows`` when the caller already knows the count to avoid
+    the counting job.
     """
+    if broadcast_registry is None:
+        n = registry_rows if registry_rows is not None else registry.count()
+        broadcast_registry = n <= broadcast_threshold_rows
+        if not broadcast_registry and salt is None:
+            salt = 16
     reg = registry.select("ext_id", "internal_id")
     if broadcast_registry:
         reg = F.broadcast(reg)
@@ -101,11 +122,25 @@ def resolve_endpoints(
     bad = F.col("src_internal").isNull() | F.col("dst_internal").isNull()
     if skip_invalid:
         return joined.filter(~bad)
-    first_bad = joined.filter(bad).limit(1).collect()
-    if first_bad:
-        r = first_bad[0]
-        raise CSVError(
-            "Relationship specified a non-existent identifier. "
-            f"src: {r[src_col]}; dest: {r[dst_col]}"
-        )
-    return joined
+    if eager_check:
+        first_bad = joined.filter(bad).limit(1).collect()
+        if first_bad:
+            r = first_bad[0]
+            raise CSVError(
+                "Relationship specified a non-existent identifier. "
+                f"src: {r[src_col]}; dest: {r[dst_col]}"
+            )
+        return joined
+    # Inline strict validation: the error fires inside the projection of
+    # whatever action consumes the result — the double-join runs ONCE,
+    # not once for validation and again for the real action.
+    err = F.concat(
+        F.lit("Relationship specified a non-existent identifier. src: "),
+        F.coalesce(F.col(src_col).cast("string"), F.lit("null")),
+        F.lit("; dest: "),
+        F.coalesce(F.col(dst_col).cast("string"), F.lit("null")),
+    )
+    return joined.withColumn(
+        "src_internal",
+        F.when(bad, F.raise_error(err)).otherwise(F.col("src_internal")),
+    )

@@ -113,11 +113,14 @@ def _parse_rows(
                         props[name] = canonical_literal(cell)
                 out["row_idx"].append(int(row_idx))
                 out["props_json"].append(json.dumps(props, ensure_ascii=False))
+                # identifiers keep trailing whitespace: the reference only
+                # skips leading space (skipinitialspace), so 'a' and 'a '
+                # are distinct node keys (entity_file.py csv dialect)
                 if kind == "node":
-                    out["ext_id"].append(row[id_off].strip())
+                    out["ext_id"].append(row[id_off])
                 else:
-                    out["src_id"].append(row[s_off].strip())
-                    out["dst_id"].append(row[e_off].strip())
+                    out["src_id"].append(row[s_off])
+                    out["dst_id"].append(row[e_off])
             yield pd.DataFrame(out)
 
     return lines.mapInPandas(run, schema=schema)

@@ -29,17 +29,23 @@ from pyspark.sql import functions as F
 from ..canon import connected_components
 from ..extract import extract_mentions, validate_span_sequences
 from ..ids import build_node_registry
-from ..link import link_mentions, lsh_candidate_pairs
+from ..link import (
+    augment_alias_dim,
+    build_alias_dim,
+    link_mentions,
+    lsh_candidate_pairs,
+)
 from ..materialize import GraphCatalog
-from ..operators.endpoints import resolve_endpoints
+from ..operators.endpoints import BROADCAST_THRESHOLD_ROWS, resolve_endpoints
 from ..operators.skew import two_phase_count
 
 
-def _augment_aliases_with_lsh(
+def _lsh_extra_mappings(
     mentions_linked: DataFrame, aliases: DataFrame, threshold: float
-) -> DataFrame:
+) -> Optional[DataFrame]:
     """Resolve leftover surfaces via LSH against canonical surfaces;
-    returns the augmented alias table."""
+    returns the extra (surface, canonical_id) mappings, or None when
+    every surface already resolved."""
     unresolved = (
         mentions_linked.filter(F.col("subj_cid").isNull())
         .select(F.col("subj_surface").alias("surface"))
@@ -51,7 +57,7 @@ def _augment_aliases_with_lsh(
         .distinct()
     )
     if unresolved.isEmpty():
-        return aliases
+        return None
     matches = lsh_candidate_pairs(
         unresolved,
         aliases,
@@ -61,11 +67,10 @@ def _augment_aliases_with_lsh(
         "surface",
         threshold=threshold,
     )
-    extra = matches.select(
+    return matches.select(
         F.col("surface_lsh").alias("surface"),
         F.col("canonical_id_lsh").alias("canonical_id"),
     )
-    return aliases.unionByName(extra)
 
 
 def canonicalize(aliases: DataFrame) -> DataFrame:
@@ -113,29 +118,41 @@ def build_graph(
     # extractor over the full corpus.
     mentions = extract_mentions(docs).persist()
 
-    # 3. linking (broadcast alias join, then LSH for leftovers).
-    # linked0 is persisted: the leftover probe reads it twice (subj and
-    # obj branches) and the final triples derive from it.
-    linked0 = link_mentions(mentions, aliases).persist()
-    aliases_aug = _augment_aliases_with_lsh(linked0, aliases, lsh_threshold)
+    # 3. linking: the alias dim is normalized + broadcast ONCE per run
+    # and reused by every link pass (the rebuild was the measured
+    # per-run fixed cost). linked0 is persisted: the leftover probe
+    # reads it twice (subj and obj branches).
+    dim0 = build_alias_dim(aliases)
+    linked0 = link_mentions(mentions, dim=dim0).persist()
+    extra = _lsh_extra_mappings(linked0, aliases, lsh_threshold)
     # No leftovers -> the first join IS the final linking; skip the
     # second broadcast join entirely.
-    linked = linked0 if aliases_aug is aliases else link_mentions(
-        mentions, aliases_aug
-    )
+    if extra is None:
+        aliases_aug = aliases
+        linked = linked0
+    else:
+        aliases_aug = aliases.unionByName(extra)
+        linked = link_mentions(mentions, dim=augment_alias_dim(dim0, extra))
 
-    # 4. canonicalization via connected components
-    remap = canonicalize(aliases_aug)
+    # 4. canonicalization via connected components. The remap has one
+    # row per canonical entity — broadcast only while it provably fits
+    # (billions of entities at 100x must shuffle-join instead).
+    remap = canonicalize(aliases_aug).persist()
+    n_remap = remap.count()
+
+    def _mb(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if n_remap <= BROADCAST_THRESHOLD_ROWS else df
+
     linked = (
         linked.join(
-            F.broadcast(remap.withColumnRenamed("canonical_id", "subj_cid")
-                        .withColumnRenamed("canon_id", "subj_canon")),
+            _mb(remap.withColumnRenamed("canonical_id", "subj_cid")
+                .withColumnRenamed("canon_id", "subj_canon")),
             "subj_cid",
             "left",
         )
         .join(
-            F.broadcast(remap.withColumnRenamed("canonical_id", "obj_cid")
-                        .withColumnRenamed("canon_id", "obj_canon")),
+            _mb(remap.withColumnRenamed("canonical_id", "obj_cid")
+                .withColumnRenamed("canon_id", "obj_canon")),
             "obj_cid",
             "left",
         )
@@ -179,6 +196,7 @@ def build_graph(
     registry = build_node_registry(
         node_ext, ["ext_id"], ["label", "ext_id"]
     ).persist()
+    n_registry = registry.count()  # warms the persist; feeds the join gate
     nodes = node_ext.join(registry, "ext_id").select("internal_id", "label", "ext_id")
 
     # label / reltype registries (tiny dims, mirror header tokens)
@@ -191,7 +209,9 @@ def build_graph(
         .withColumn("rel_code", F.row_number().over(Window.orderBy("rel_type")) - 1)
     )
 
-    # 6. endpoint resolution -> edges with internal ids
+    # 6. endpoint resolution -> edges with internal ids. Strategy is
+    # size-gated (broadcast vs salted shuffle) on the known registry
+    # count; strict validation is inline (no extra validation job).
     edges = resolve_endpoints(
         distinct_triples.select(
             F.col("subj").alias("src_id"),
@@ -200,6 +220,8 @@ def build_graph(
         ),
         registry,
         skip_invalid=False,
+        broadcast_registry=None,
+        registry_rows=n_registry,
     ).select("src_internal", "dst_internal", "rel_type")
 
     # 7. metrics: per-predicate counts, skew-safe

@@ -93,21 +93,47 @@ def apply_updates(
     *,
     max_rows_per_batch: int = 100_000,
     order_col: str = None,
+    checkpoint_every: int = 8,
 ) -> DataFrame:
     """Batched MERGE: split updates into size-bounded batches and apply
-    sequentially (the reference's max-token-size batching analogue,
-    bulk_update.py:106-119). Returns the final nodes frame."""
-    total = updates.count()
-    n_batches = max(1, -(-total // max_rows_per_batch))
-    if n_batches == 1:
-        return incremental_graph_update(existing, updates, key_cols,
-                                        order_col=order_col)
+    sequentially in input order (the reference's max-token-size batching
+    analogue, bulk_update.py:106-119). Returns the final nodes frame.
+
+    Batch membership is pinned by an eager localCheckpoint on the batched
+    frame, so it cannot change across plan re-evaluation or task retry,
+    and batches follow ``order_col`` (cross-batch last-wins == sequential
+    row order). Lineage is re-checkpointed every ``checkpoint_every``
+    batches so hundreds of stacked MERGE plans don't accumulate.
+
+    Update CSVs are dim-scale in the reference (<= the 100k-row largest
+    tested load); the single-partition row_number here is bounded by that,
+    not by the fact tables.
+    """
+    from pyspark.sql import Window
+
+    if order_col is None:
+        if "row_idx" in updates.columns:
+            order_col = "row_idx"
+        else:
+            # Partition-ordered surrogate for file order; pinned below.
+            updates = updates.withColumn(
+                "_row_idx", F.monotonically_increasing_id())
+            order_col = "_row_idx"
+    w = Window.orderBy(F.col(order_col))
     batched = updates.withColumn(
-        "_b", F.monotonically_increasing_id() % n_batches
-    )
+        "_b",
+        ((F.row_number().over(w) - F.lit(1)) / F.lit(max_rows_per_batch))
+        .cast("long"),
+    ).localCheckpoint(eager=True)
+    n_batches = (batched.agg(F.max("_b")).first()[0] or 0) + 1
+    if n_batches == 1:
+        return incremental_graph_update(
+            existing, batched.drop("_b"), key_cols, order_col=order_col)
     current = existing
     for b in range(n_batches):
         batch = batched.filter(F.col("_b") == b).drop("_b")
         current = incremental_graph_update(current, batch, key_cols,
                                            order_col=order_col)
+        if (b + 1) % checkpoint_every == 0 and b + 1 < n_batches:
+            current = current.localCheckpoint(eager=False)
     return current

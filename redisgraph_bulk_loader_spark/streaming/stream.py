@@ -33,11 +33,16 @@ def incremental_graph_update(
     order_col: Optional[str] = None,
 ) -> DataFrame:
     """MERGE semantics: upsert ``updates`` into ``existing_nodes`` on
-    key_cols. Within updates, last occurrence wins (reference applies
-    batches in row order). Running it twice with the same updates is a
-    no-op (idempotent MERGE, test_bulk_update.py:28-81)."""
+    key_cols. With ``order_col`` (or a ``row_idx`` column, auto-detected),
+    the last occurrence by that order wins — the reference applies rows
+    strictly in file order (bulk_update.py:106-119). Without any order
+    column a DataFrame has no row order, so dropDuplicates keeps an
+    *arbitrary* row per key; callers needing reference parity must carry
+    an order column (the loader's row_idx). Running it twice with the
+    same updates is a no-op (idempotent MERGE, test_bulk_update.py:28-81)."""
     cols = existing_nodes.columns
-    upd = updates.select(*cols)
+    if order_col is None and "row_idx" in updates.columns:
+        order_col = "row_idx"
     if order_col:
         w = Window.partitionBy(*key_cols).orderBy(F.col(order_col).desc())
         upd = (
@@ -46,7 +51,7 @@ def incremental_graph_update(
             .select(*cols)
         )
     else:
-        upd = upd.dropDuplicates(key_cols)
+        upd = updates.select(*cols).dropDuplicates(key_cols)
     kept = existing_nodes.join(upd.select(*key_cols), key_cols, "left_anti")
     return kept.unionByName(upd)
 
@@ -86,10 +91,13 @@ def sessionize_events(
     SQL-expressible for the DuckDB oracle."""
     w = Window.partitionBy(user_col).orderBy(ts_col)
     prev_ts = F.lag(ts_col).over(w)
+    # Exact microsecond gap via timestamp_diff — unix_timestamp()
+    # truncates to whole seconds and misclassifies gaps within <1s of
+    # the boundary (DuckDB's epoch() keeps microseconds). Works on both
+    # TIMESTAMP and TIMESTAMP_NTZ, timezone-independent.
+    gap_us = F.timestamp_diff("MICROSECOND", prev_ts, F.col(ts_col))
     new_sess = (
-        prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts)
-           > gap_minutes * 60)
+        prev_ts.isNull() | (gap_us > gap_minutes * 60 * 1_000_000)
     ).cast("int")
     sess_idx = F.sum(new_sess).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)

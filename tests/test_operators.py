@@ -96,12 +96,23 @@ class TestEndpoints:
         assert got == [(0, 2), (1, 2)]
 
     def test_unknown_endpoint_strict_raises(self, spark, registry):
-        # relation_type.py:74-88: KeyError unless skip_invalid_edges
+        # relation_type.py:74-88: KeyError unless skip_invalid_edges.
+        # Default strict check is inline (raise_error at action time,
+        # zero extra jobs); the message matches the reference's.
+        edges = spark.createDataFrame(
+            [("0", "99")], "src_id string, dst_id string"
+        )
+        out = resolve_endpoints(edges, registry, skip_invalid=False)
+        with pytest.raises(Exception, match="non-existent identifier"):
+            out.collect()
+
+    def test_unknown_endpoint_strict_eager_raises(self, spark, registry):
         edges = spark.createDataFrame(
             [("0", "99")], "src_id string, dst_id string"
         )
         with pytest.raises(CSVError):
-            resolve_endpoints(edges, registry, skip_invalid=False)
+            resolve_endpoints(edges, registry, skip_invalid=False,
+                              eager_check=True)
 
     def test_unknown_endpoint_skip_drops(self, spark, registry):
         edges = spark.createDataFrame(
@@ -214,8 +225,11 @@ class TestConnectedComponents:
             edges.add((rnd.randrange(60), rnd.randrange(60)))
         edges = [(a, b) for a, b in edges if a != b]
         df = spark.createDataFrame(edges, "u long, v long")
+        # driver_threshold=0 forces the distributed star loop — the
+        # driver union-find gate would otherwise answer trivially here
         got = {
-            r.node: r.component for r in connected_components(df).collect()
+            r.node: r.component
+            for r in connected_components(df, driver_threshold=0).collect()
         }
         # pure-python union-find oracle
         parent = {}
@@ -252,6 +266,24 @@ class TestConnectedComponents:
         )
         got = {r.node: r.component for r in connected_components(df).collect()}
         assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_driver_gate_matches_distributed(self, spark):
+        import random
+
+        rnd = random.Random(11)
+        edges = list({(rnd.randrange(80), rnd.randrange(80))
+                      for _ in range(150)})
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "u long, v long")
+        fast = {r.node: r.component
+                for r in connected_components(df).collect()}
+        dist = {r.node: r.component
+                for r in connected_components(df, driver_threshold=0).collect()}
+        assert fast == dist
+
+    def test_empty_edges(self, spark):
+        df = spark.createDataFrame([], "u long, v long")
+        assert connected_components(df).count() == 0
 
 
 # ---------------------------------------------------------------------------
