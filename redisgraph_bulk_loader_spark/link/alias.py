@@ -67,20 +67,60 @@ def build_alias_dim(
         # Collecting a small dim to pre-normalize costs the same memory
         # class as broadcasting it, and removes a dropDuplicates shuffle
         # plus one broadcast-exchange build from the critical path.
+        # The re-upload goes through pandas/Arrow: a pickled-list
+        # createDataFrame needs python workers on EVERY materialization
+        # of the broadcast (measured ~60s fork storm mid-pipeline at 32
+        # slots), while Arrow batches decode JVM-side.
+        import pandas as pd
+
         seen = {}
         for row in aliases.select("surface", "canonical_id").collect():
             seen.setdefault(_normalize_py(row["surface"]), row["canonical_id"])
-        return F.broadcast(
-            spark.createDataFrame(
-                list(seen.items()), schema="_norm string, canonical_id string"
-            )
-        )
+        pdf = pd.DataFrame(
+            list(seen.items()) or [(None, None)],
+            columns=["_norm", "canonical_id"],
+        ).astype("string")
+        if not seen:
+            pdf = pdf.iloc[0:0]
+        return F.broadcast(spark.createDataFrame(pdf))
     return F.broadcast(
         aliases.select(
             normalize_surface(F.col("surface")).alias("_norm"),
             F.col("canonical_id"),
         ).dropDuplicates(["_norm"])
     )
+
+
+def patch_unresolved(
+    linked: DataFrame,
+    extra: DataFrame,
+    surface_cols=("subj_surface", "obj_surface"),
+) -> DataFrame:
+    """Second-pass linking without rescanning the mention stream: rows
+    whose ``<col>_cid`` is null get resolved against the (tiny) extra
+    mappings; already-resolved rows pass through untouched (their join
+    key is null, and null keys never match). Equivalent to re-running
+    link_mentions with the augmented dim because the extra mappings'
+    normalized keys are exactly the base dim's misses."""
+    dim = F.broadcast(
+        extra.select(
+            normalize_surface(F.col("surface")).alias("_norm"),
+            F.col("canonical_id"),
+        ).dropDuplicates(["_norm"])
+    )
+    out = linked
+    for col in surface_cols:
+        cid = col.replace("_surface", "_cid")
+        out = (
+            out.withColumn(
+                "_norm",
+                F.when(F.col(cid).isNull(), normalize_surface(F.col(col))),
+            )
+            .join(dim, "_norm", "left")
+            .withColumn(cid, F.coalesce(F.col(cid), F.col("canonical_id")))
+            .drop("_norm", "canonical_id")
+        )
+    return out
 
 
 def augment_alias_dim(dim: DataFrame, extra: DataFrame) -> DataFrame:

@@ -127,6 +127,26 @@ class GraphCatalog:
     def lineage(self) -> List[dict]:
         return list(self._manifest()["lineage"])
 
+    # -- index DDL (reference bulk_insert.py:235-263) ------------------------
+    def record_index(self, label: str, prop: str, kind: str = "range") -> None:
+        """Record a requested index in the manifest — the table-layout
+        analogue of the reference's post-load ``CREATE INDEX ON
+        :label(prop)`` / full-text variant. Recorded strictly AFTER the
+        graph tables are written (same ordering as the reference); a
+        real lakehouse deployment maps these to sort-order / Z-order or
+        a search-index sync, so the manifest is the contract."""
+        if kind not in ("range", "fulltext"):
+            raise ValueError("index kind must be 'range' or 'fulltext'")
+        m = self._manifest()
+        entries = m.setdefault("requested_indexes", [])
+        entry = {"label": label, "property": prop, "kind": kind,
+                 "ts": time.time()}
+        entries.append(entry)
+        self._save_manifest(m)
+
+    def requested_indexes(self) -> List[dict]:
+        return list(self._manifest().get("requested_indexes", []))
+
     # -- fingerprints ------------------------------------------------------
     @staticmethod
     def fingerprint_df(df: DataFrame, cols: Optional[List[str]] = None) -> str:

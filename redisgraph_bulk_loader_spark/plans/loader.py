@@ -47,14 +47,17 @@ _TYPE_TAG = {
 }
 
 
-def _lines_with_index(spark: SparkSession, path: str) -> DataFrame:
-    """(line, row_idx) preserving file order; header dropped."""
+def _lines_with_index(
+    spark: SparkSession, path: str, skip_header: bool = True
+) -> DataFrame:
+    """(line, row_idx) preserving file order; header dropped unless
+    ``skip_header=False`` (the updater's --no-header mode)."""
     rdd = spark.sparkContext.textFile(path).zipWithIndex()
     df = spark.createDataFrame(
         rdd, StructType([StructField("line", StringType()),
                          StructField("row_idx", LongType())])
     )
-    return df.filter(F.col("row_idx") > 0)
+    return df.filter(F.col("row_idx") > 0) if skip_header else df
 
 
 def _parse_rows(

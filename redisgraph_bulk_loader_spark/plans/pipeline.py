@@ -30,10 +30,10 @@ from ..canon import connected_components
 from ..extract import extract_mentions, validate_span_sequences
 from ..ids import build_node_registry
 from ..link import (
-    augment_alias_dim,
     build_alias_dim,
     link_mentions,
     lsh_candidate_pairs,
+    patch_unresolved,
 )
 from ..materialize import GraphCatalog
 from ..operators.endpoints import BROADCAST_THRESHOLD_ROWS, resolve_endpoints
@@ -67,10 +67,15 @@ def _lsh_extra_mappings(
         "surface",
         threshold=threshold,
     )
-    return matches.select(
+    extra = matches.select(
         F.col("surface_lsh").alias("surface"),
         F.col("canonical_id_lsh").alias("canonical_id"),
     )
+    # The LSH plan (minhash + banding over the unresolved vocabulary) is
+    # expensive; every consumer (augmented dim, canonicalization — which
+    # references the alias table twice) would re-execute it lazily.
+    # The result is dim-scale by construction: pin it once.
+    return extra.localCheckpoint(eager=True)
 
 
 def canonicalize(aliases: DataFrame) -> DataFrame:
@@ -102,9 +107,20 @@ def build_graph(
     *,
     lsh_threshold: float = 0.5,
     strict_spans: bool = False,
+    checkpoint_stages: bool = True,
 ) -> dict:
     """Run the full pipeline; returns dict of result DataFrames and
-    writes catalog tables when a catalog is given."""
+    writes catalog tables when a catalog is given.
+
+    With a catalog, the extraction stage checkpoints its output table
+    (north_rule: every stage resumes without recomputation) — which
+    also means downstream passes scan a columnar table instead of
+    holding the full mention stream in executor cache."""
+    fp = (
+        GraphCatalog.fingerprint_df(documents.select("doc_id"))
+        if catalog is not None else None
+    )
+
     # 1. span validation
     ok = validate_span_sequences(documents)
     docs = documents.filter(ok) if not strict_spans else documents
@@ -113,26 +129,41 @@ def build_graph(
         if bad:
             raise ValueError(f"span-sequence violation in doc {bad[0]['doc_id']}")
 
-    # 2. extraction — persisted: every downstream table derives from it,
-    # and without a persist each write action would re-run the Arrow
+    # 2. extraction. Staged through the catalog when available (resume
+    # checkpoint + columnar scans downstream); otherwise persisted —
+    # without either, every write action would re-run the Arrow
     # extractor over the full corpus.
-    mentions = extract_mentions(docs).persist()
+    mentions = extract_mentions(docs)
+    staged = catalog is not None and checkpoint_stages
+    if staged:
+        if not catalog.is_complete("mentions", fp):
+            catalog.write("mentions", mentions, stage="mentions",
+                          input_fingerprint=fp)
+        mentions = catalog.read("mentions")
+    else:
+        mentions = mentions.persist()
 
     # 3. linking: the alias dim is normalized + broadcast ONCE per run
-    # and reused by every link pass (the rebuild was the measured
-    # per-run fixed cost). linked0 is persisted: the leftover probe
-    # reads it twice (subj and obj branches).
+    # (the rebuild was the measured per-run fixed cost). When mentions
+    # are staged to a table, the link output is NOT cached: recomputing
+    # it is a columnar scan + broadcast joins (cheap, codegen), while
+    # caching 10^12-scale wide rows costs executor memory + GC. The
+    # in-memory path keeps the persist so downstream actions don't
+    # re-run the Arrow extractor.
     dim0 = build_alias_dim(aliases)
-    linked0 = link_mentions(mentions, dim=dim0).persist()
+    linked0 = link_mentions(mentions, dim=dim0)
+    if not staged:
+        linked0 = linked0.persist()
     extra = _lsh_extra_mappings(linked0, aliases, lsh_threshold)
-    # No leftovers -> the first join IS the final linking; skip the
-    # second broadcast join entirely.
+    # No leftovers -> the first join IS the final linking. Leftovers ->
+    # patch only the null-cid rows from the (tiny, pinned) extra
+    # mappings instead of re-linking the whole mention stream.
     if extra is None:
         aliases_aug = aliases
         linked = linked0
     else:
         aliases_aug = aliases.unionByName(extra)
-        linked = link_mentions(mentions, dim=augment_alias_dim(dim0, extra))
+        linked = patch_unresolved(linked0, extra)
 
     # 4. canonicalization via connected components. The remap has one
     # row per canonical entity — broadcast only while it provably fits
@@ -239,7 +270,6 @@ def build_graph(
     }
 
     if catalog is not None:
-        fp = GraphCatalog.fingerprint_df(documents.select("doc_id"))
         if not catalog.is_complete("build_graph", fp):
             catalog.write("nodes", nodes, partition_by=["label"],
                           stage="nodes", input_fingerprint=fp)

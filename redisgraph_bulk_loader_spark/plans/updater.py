@@ -25,9 +25,9 @@ Spark mapping:
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.stream import incremental_graph_update
@@ -137,3 +137,99 @@ def apply_updates(
         if (b + 1) % checkpoint_every == 0 and b + 1 < n_batches:
             current = current.localCheckpoint(eager=False)
     return current
+
+
+# ---------------------------------------------------------------------------
+# UNWIND query-template machinery (bulk_update.py:37 parity)
+# ---------------------------------------------------------------------------
+
+def compose_update_query(query: str, variable_name: str = "row") -> str:
+    """The reference's query composition, verbatim semantics: the user
+    fragment runs once per row with the row bound to ``variable_name``
+    (bulk_update.py:37 ``" ".join(["UNWIND $rows AS", variable_name,
+    query])``). Returned for display/lineage; execution happens in
+    run_update_query."""
+    return " ".join(["UNWIND $rows AS", variable_name, query])
+
+
+def read_update_csv(
+    spark: SparkSession,
+    path: str,
+    *,
+    separator: str = ",",
+    no_header: bool = False,
+    variable_name: str = "row",
+) -> DataFrame:
+    """Read an update CSV the way the reference does
+    (bulk_update.py:82-104: QUOTE_NONE, backslash escape,
+    skipinitialspace, optional header skip) into
+    ``(row_idx, <variable_name>: array<string>)`` — positional cells,
+    so SQL fragments use 0-based ``<var>[i]`` exactly like the
+    reference's Cypher ``row[i]``."""
+    import csv as _csv
+    import io
+    from typing import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (
+        ArrayType, LongType, StringType, StructField, StructType,
+    )
+
+    from .loader import _lines_with_index
+
+    rdd_df = _lines_with_index(spark, path, skip_header=not no_header)
+    schema = StructType([
+        StructField("row_idx", LongType()),
+        StructField(variable_name, ArrayType(StringType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx, rows = [], []
+            reader = _csv.reader(
+                io.StringIO("\n".join(pdf["line"].astype(str))),
+                delimiter=separator, skipinitialspace=True,
+                quoting=_csv.QUOTE_NONE, escapechar="\\",
+            )
+            for row_idx, row in zip(pdf["row_idx"], reader):
+                idx.append(int(row_idx))
+                rows.append(list(row))
+            yield pd.DataFrame({"row_idx": idx, variable_name: rows})
+
+    return rdd_df.mapInPandas(run, schema=schema)
+
+
+def run_update_query(
+    spark: SparkSession,
+    existing: DataFrame,
+    rows: DataFrame,
+    query: str,
+    *,
+    variable_name: str = "row",
+    key_cols: List[str],
+    max_rows_per_batch: int = 100_000,
+) -> DataFrame:
+    """Spark analogue of the reference's ``UNWIND $rows AS <var>
+    <query>`` (bulk_update.py:37,106-119): ``query`` is an ANSI-SQL
+    select list over the row variable — e.g.
+    ``"{v}[0] AS ext_id, CAST({v}[1] AS INT) AS age"`` with ``{v}`` =
+    ``variable_name`` and 0-based cell access, mirroring Cypher's
+    ``row[0]`` — projected once per row and MERGEd into ``existing``
+    on ``key_cols`` in row order (last occurrence wins).
+
+    Documented restriction vs the reference: the fragment is a row
+    projection + MERGE, not arbitrary Cypher graph mutation; that is
+    the shape every reference test exercises (test_bulk_update.py).
+
+    Compile-time validation (the GRAPH.EXPLAIN analogue,
+    bulk_update.py:76-80) happens when the projection is analyzed —
+    a malformed fragment raises AnalysisException before any batch is
+    applied."""
+    view = "_rgbl_update_rows"
+    rows.createOrReplaceTempView(view)
+    projected = spark.sql(f"SELECT {query}, row_idx FROM {view}")
+    projected.limit(0).columns  # force analysis: fail before any write
+    return apply_updates(
+        existing, projected, key_cols,
+        max_rows_per_batch=max_rows_per_batch, order_col="row_idx",
+    )

@@ -154,10 +154,14 @@ def entity_surface_pairs() -> List[Tuple[str, str]]:
 
 
 def alias_table(spark: SparkSession) -> DataFrame:
-    """The broadcast alias dictionary (small dim table)."""
-    return spark.createDataFrame(
-        entity_surface_pairs(), schema="surface string, canonical_id string"
-    )
+    """The broadcast alias dictionary (small dim table). Built from a
+    pandas frame so materialization decodes Arrow batches JVM-side — a
+    pickled-list createDataFrame would fork python workers on every
+    scan of the dim (measured as a per-run fork storm at 32 slots)."""
+    pdf = pd.DataFrame(
+        entity_surface_pairs(), columns=["surface", "canonical_id"]
+    ).astype("string")
+    return spark.createDataFrame(pdf)
 
 
 # ---------------------------------------------------------------------------
