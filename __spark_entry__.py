@@ -283,22 +283,19 @@ def _q_kg_salted_join(spark, sf_dir):
 
 
 def _q_kg_connected_components(spark, sf_dir):
-    """CC over the customer co-nation graph is not SQL-expressible
-    (iterative) — rows-only check; pytest pins correctness vs a
-    union-find oracle."""
+    """Distributed large-star/small-star CC over a deterministic
+    nontrivial graph (orders modulo-hash edges). driver_threshold=0
+    forces the distributed loop so the oracle (DuckDB recursive
+    transitive closure) checks the iterative algorithm, not the
+    driver union-find shortcut."""
     from redisgraph_bulk_loader_spark.canon import connected_components
 
-    customer = _t(spark, sf_dir, "customer").limit(200)
-    # edges: consecutive custkeys within a nation form chains
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("c_nationkey").orderBy("c_custkey")
-    edges = (
-        customer.withColumn("_next", F.lead("c_custkey").over(w))
-        .filter(F.col("_next").isNotNull())
-        .select(F.col("c_custkey").alias("u"), F.col("_next").alias("v"))
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.filter(F.col("o_orderkey") < 500).select(
+        (F.col("o_orderkey") % 97).cast("long").alias("u"),
+        (F.col("o_custkey") % 89 + 100).cast("long").alias("v"),
     )
-    return connected_components(edges).select(
+    return connected_components(edges, driver_threshold=0).select(
         "node", F.col("component").alias("comp")
     )
 
@@ -329,6 +326,48 @@ def _q_doc_bpe_tokens(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id", bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
+def _q_kg_loader_types(spark, sf_dir):
+    """The heart of the reference: per-cell type inference + loader
+    lifecycle over a committed mixed-type fixture CSV (int64-overflow
+    -> double, float forms, bool case-insensitivity, array literal
+    parse + fallthrough-to-string, quote-literal strings, null drop —
+    entity_file.py:49-176 semantics). Oracle = committed golden parquet
+    of the hand-derived expected output."""
+    from redisgraph_bulk_loader_spark.config import Config
+    from redisgraph_bulk_loader_spark.plans.loader import bulk_insert
+
+    g = bulk_insert(
+        spark,
+        [("/root/repo/tests/fixtures/typed_nodes.csv", "TypedNode")],
+        (),
+        Config(separator="|"),
+    )
+    return g.nodes.select("internal_id", "key", "props_json")
+
+
+def _q_ann_self_join(spark, sf_dir):
+    """Embedding near-dup pairs (corpus-vs-corpus, banded hyperplane
+    self-join + exact cosine verify). Near-copies are planted by
+    scaling 50 vectors (sign patterns are scale-invariant, so banding
+    recall on them is exactly 1); the oracle is the exact O(n^2)
+    cosine join."""
+    from redisgraph_bulk_loader_spark.operators.similarity import (
+        ann_self_join_pairs,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    return ann_self_join_pairs(corpus, threshold=0.9).select(
+        "id_a", "id_b", F.round("cos_sim", 6).alias("csim")
     )
 
 
@@ -379,6 +418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "kg_salted_join": _q_kg_salted_join,
         "kg_connected_components": _q_kg_connected_components,
+        "kg_loader_types": _q_kg_loader_types,
+        "ann_self_join": _q_ann_self_join,
         "media_features": _q_media_features,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
     }
@@ -389,6 +430,82 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _STOPWORDS_SQL = "['the','a','an','of','to','and','in','is','for','on','with','that','as','at','by','it']"
+
+_EXACT_JACCARD_PAIRS_SQL = r"""
+    WITH sh AS (
+      SELECT DISTINCT doc_id AS id, unnest(ngrams) AS sh FROM (
+        SELECT doc_id,
+               list_distinct([
+                 array_to_string(toks[i:i+2], ' ')
+                 FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)
+               ]) AS ngrams
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS toks
+              FROM documents))
+    ),
+    sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+    inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
+      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY a.id, b.id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jsim
+    FROM inter
+    JOIN sizes sa ON sa.id = id_a
+    JOIN sizes sb ON sb.id = id_b
+    WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+"""
+
+
+def _ann_lsh_oracle_sql() -> str:
+    """DuckDB twin of lsh_bucketed_topk(bits=6, probe_bits=6, seed=42):
+    the SAME hyperplane constants (regenerated from the shared seeded
+    generator) drive signature/bucket computation SQL-side, so the
+    oracle checks the LSH algorithm itself, not a recall gamble."""
+    from redisgraph_bulk_loader_spark.operators.similarity import (
+        _random_planes,
+    )
+
+    planes = _random_planes(64, 6, 42)
+    plane_rows = ",\n".join(
+        f"({b}, [{', '.join(repr(x) for x in p)}])"
+        for b, p in enumerate(planes)
+    )
+    probe_rows = ",".join(f"({0 if i < 0 else 1 << i})" for i in range(-1, 6))
+    return f"""
+        WITH planes(bit, plane) AS (VALUES {plane_rows}),
+        vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sigs AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN list_inner_product(v, plane) > 0
+                          THEN 1 << bit ELSE 0 END) AS BIGINT) AS sig
+          FROM vecs, planes GROUP BY vec_id
+        ),
+        corpus AS (
+          SELECT s.vec_id AS neighbor_id, s.sig AS bucket, v.v AS cv
+          FROM sigs s JOIN vecs v USING (vec_id)
+        ),
+        probes(flip) AS (VALUES {probe_rows}),
+        q AS (
+          SELECT s.vec_id AS query_id, xor(s.sig, p.flip) AS bucket, v.v AS qv
+          FROM sigs s JOIN vecs v USING (vec_id) CROSS JOIN probes p
+          WHERE s.vec_id < 3
+        ),
+        scored AS (
+          SELECT q.query_id, c.neighbor_id,
+                 list_inner_product(q.qv, c.cv)
+                   / (sqrt(list_inner_product(q.qv, q.qv))
+                      * sqrt(list_inner_product(c.cv, c.cv))) AS cs
+          FROM q JOIN corpus c USING (bucket)
+          WHERE q.query_id <> c.neighbor_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= 5
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -500,30 +617,52 @@ def oracle_sql() -> dict[str, str]:
                 ORDER BY doc_id) AS rk
               FROM documents) WHERE rk = 1
         """,
-        "dedup_ngram_jaccard": r"""
-            WITH sh AS (
-              SELECT DISTINCT doc_id AS id, unnest(ngrams) AS sh FROM (
-                SELECT doc_id,
-                       list_distinct([
-                         array_to_string(toks[i:i+2], ' ')
-                         FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)
-                       ]) AS ngrams
-                FROM (SELECT doc_id,
-                             string_split_regex(lower(trim(text)), '\s+') AS toks
-                      FROM documents))
+        "dedup_ngram_jaccard": _EXACT_JACCARD_PAIRS_SQL,
+        # MinHash banding + exact-Jaccard verification: the planted
+        # near-dups all sit at jaccard >= 0.9, where 8-band/4-row
+        # candidate recall is ~1-1e-4 per pair — the exact pair set IS
+        # the oracle (verified equal at the driver's sf).
+        "dedup_minhash_lsh": _EXACT_JACCARD_PAIRS_SQL,
+        "ann_lsh": _ann_lsh_oracle_sql(),
+        "kg_connected_components": """
+            WITH RECURSIVE base AS (
+              SELECT CAST(o_orderkey % 97 AS BIGINT) AS u,
+                     CAST(o_custkey % 89 + 100 AS BIGINT) AS v
+              FROM orders WHERE o_orderkey < 500
             ),
-            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-            inter AS (
-              SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS i
-              FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-              GROUP BY a.id, b.id
+            sym AS (
+              SELECT u, v FROM base WHERE u <> v
+              UNION
+              SELECT v, u FROM base WHERE u <> v
+            ),
+            reach(a, b) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
             )
-            SELECT id_a, id_b,
-                   ROUND(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jsim
-            FROM inter
-            JOIN sizes sa ON sa.id = id_a
-            JOIN sizes sb ON sb.id = id_b
-            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5
+            SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+        """,
+        "kg_loader_types": """
+            SELECT internal_id, key, props_json
+            FROM read_parquet('/root/repo/tests/golden/loader_types.parquet')
+        """,
+        "ann_self_join": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                          FROM embeddings),
+            ext AS (
+              SELECT vec_id, v FROM base
+              UNION ALL
+              SELECT vec_id + 100000, list_transform(v, x -> x * 1.01)
+              FROM base WHERE vec_id < 50
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND(list_inner_product(a.v, b.v)
+                         / (sqrt(list_inner_product(a.v, a.v))
+                            * sqrt(list_inner_product(b.v, b.v))), 6) AS csim
+            FROM ext a JOIN ext b ON a.vec_id < b.vec_id
+            WHERE list_inner_product(a.v, b.v)
+                  / (sqrt(list_inner_product(a.v, a.v))
+                     * sqrt(list_inner_product(b.v, b.v))) >= 0.9
         """,
         "ann_brute_force": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

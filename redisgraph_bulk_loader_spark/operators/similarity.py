@@ -74,6 +74,78 @@ def _random_planes(dim: int, bits: int, seed: int) -> List[List[float]]:
     return [[rnd.gauss(0, 1) for _ in range(dim)] for _ in range(bits)]
 
 
+def ann_self_join_pairs(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    bits: int = 16,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Corpus-vs-corpus embedding near-duplicate pairs — the 100 TB
+    dedup-shaped ANN case (no broadcastable query side). Random-
+    hyperplane signatures are split into ``bands``; candidates are the
+    same-(band,bucket) self-join (banded equi-join, never a cross
+    join, the same shuffle shape as minhash_lsh_dedup_pairs); exact
+    cosine verifies against ``threshold``.
+
+    Near-identical directions produce identical sign patterns on every
+    plane (signs are scale-invariant), so true near-dups share every
+    band and recall on them is ~1; band width trades candidate volume
+    against recall on milder similarity.
+
+    Returns (id_a, id_b, cos_sim) with id_a < id_b."""
+    planes = _random_planes(dim, bits, seed)
+    rows_per_band = bits // bands
+    mask = (1 << rows_per_band) - 1
+
+    def signature(vec):
+        sig = F.lit(0)
+        for i, plane in enumerate(planes):
+            p = F.array(*[F.lit(float(x)) for x in plane])
+            sig = sig + F.when(_dot(vec, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        return sig
+
+    base = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_sig", signature(F.col("_v")))
+    banded = base.select(
+        "_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("_sig"), b * rows_per_band)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("bucket"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("_bb"),
+    ).select("_id", "_bb.band", "_bb.bucket")
+    # key-only pair dedup BEFORE vectors rejoin (vectors never ride the
+    # band-collision shuffle)
+    pairs = (
+        banded.alias("a")
+        .join(banded.alias("b"), ["band", "bucket"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.join(base.select(F.col("_id").alias("id_a"),
+                               F.col("_v").alias("_va")), "id_a")
+        .join(base.select(F.col("_id").alias("id_b"),
+                          F.col("_v").alias("_vb")), "id_b")
+        .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -210,6 +210,30 @@ class TestSimilarity:
         ).collect()
         assert out and out[0].neighbor_id == 61
 
+    def test_self_join_finds_planted_pairs_only(self, spark, emb):
+        from redisgraph_bulk_loader_spark.operators.similarity import (
+            ann_self_join_pairs,
+        )
+
+        # plant scaled copies of vecs 1..3: cosine == 1, every band
+        # collides (signs are scale-invariant) -> guaranteed recall
+        copies = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+            (F.col("vec_id") + 1000).alias("vec_id"),
+            F.transform("embedding", lambda x: x * F.lit(2.0)).alias("embedding"),
+        )
+        corpus = emb.select("vec_id", "embedding").unionByName(copies)
+        got = {
+            (r.id_a, r.id_b)
+            for r in ann_self_join_pairs(
+                corpus, threshold=0.99, bits=8, bands=4, dim=16
+            ).collect()
+        }
+        assert {(1, 1001), (2, 1002), (3, 1003)} <= got
+        # vec 61 is a near-copy of vec 0 (cos ~1) and may appear; no
+        # other pair reaches 0.99
+        extras = got - {(1, 1001), (2, 1002), (3, 1003)}
+        assert extras <= {(0, 61)}
+
 
 # ---------------------------------------------------------------------------
 # Connected components
