@@ -280,3 +280,49 @@ def _encode_typed(cell: TypedCell, raw: Optional[str]) -> bytes:
             out += encode_cell_binary(str(elem))
         return out
     raise ValueError(f"unknown tag {t}")
+
+
+def encode_cell_binary_typed(raw: Optional[str], declared_tag: int) -> bytes:
+    """Enforced-schema wire encoding: cast first (SchemaError on
+    violation), then the same tagged layout (typed_prop_to_binary,
+    entity_file.py:64-123)."""
+    cell = cast_cell(raw, declared_tag)
+    return _encode_typed(cell, raw)
+
+
+def pack_header(entity_str: str, column_names) -> bytes:
+    """Binary header token parity (pack_header, entity_file.py:240-254):
+    unaligned native layout — null-terminated entity name, uint32
+    property count, then each kept column name null-terminated.
+    ``column_names`` uses None for skipped columns, like ColumnPlan."""
+    entity_bytes = entity_str.encode()
+    props = [c for c in column_names if c]
+    fmt = "=%dsI" % (len(entity_bytes) + 1)
+    args = [entity_bytes, len(props)]
+    for prop in props:
+        enc = prop.encode()
+        fmt += "%ds" % (len(enc) + 1)
+        args.append(enc)
+    return struct.pack(fmt, *args)
+
+
+def pack_node_row(cells, column_names, types=None) -> bytes:
+    """Node row wire encoding (pack_props, entity_file.py:322-331):
+    kept columns only, inferred or enforced per ``types`` (list of
+    declared tags, None entries for skipped columns)."""
+    out = []
+    for idx, raw in enumerate(cells):
+        if not column_names[idx]:
+            continue
+        if types is not None and types[idx] is not None:
+            out.append(encode_cell_binary_typed(raw, types[idx]))
+        else:
+            out.append(encode_cell_binary(raw))
+    return b"".join(out)
+
+
+def pack_edge_row(src: int, dest: int, cells, column_names, types=None) -> bytes:
+    """Edge row wire encoding (relation_type.py:89-91): '=QQ' — two
+    8-byte unsigned internal node ids — then the packed properties."""
+    return struct.pack("=QQ", src, dest) + pack_node_row(
+        cells, column_names, types)

@@ -121,13 +121,23 @@ def build_graph(
         if catalog is not None else None
     )
 
-    # 1. span validation
+    # 1. span validation. Strict mode is inline (raise_error fused into
+    # the doc_id projection — doc_id is load-bearing downstream, so
+    # column pruning cannot drop the check): the validation rides the
+    # extraction scan instead of paying its own full pass.
     ok = validate_span_sequences(documents)
-    docs = documents.filter(ok) if not strict_spans else documents
     if strict_spans:
-        bad = documents.filter(~ok).limit(1).collect()
-        if bad:
-            raise ValueError(f"span-sequence violation in doc {bad[0]['doc_id']}")
+        docs = documents.withColumn(
+            "doc_id",
+            F.when(
+                ~ok,
+                F.raise_error(F.concat(
+                    F.lit("span-sequence violation in doc "), F.col("doc_id")
+                )),
+            ).otherwise(F.col("doc_id")),
+        )
+    else:
+        docs = documents.filter(ok)
 
     # 2. extraction. Staged through the catalog when available (resume
     # checkpoint + columnar scans downstream); otherwise persisted —

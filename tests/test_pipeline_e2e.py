@@ -169,3 +169,23 @@ class TestDenseIds:
             detect_duplicates(df, ["ext_id"], strict=True)
         # skip mode passes through
         assert detect_duplicates(df, ["ext_id"], strict=False).count() == 3
+
+
+class TestStrictSpans:
+    def test_strict_mode_raises_inline(self, spark):
+        # a doc violating the span-sequence invariant (offsets out of
+        # order) must fail the job in strict mode — inline raise_error,
+        # no separate validation pass
+        bad = spark.createDataFrame(
+            [("d-bad", [("text", "x", None, 5), ("text", "y", None, 1)])],
+            "doc_id string, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>",
+        )
+        with pytest.raises(Exception, match="span-sequence violation"):
+            build_graph(spark, bad, alias_table(spark), None,
+                        strict_spans=True)
+
+    def test_strict_mode_passes_clean_corpus(self, spark, docs):
+        res = build_graph(spark, docs.limit(20), alias_table(spark), None,
+                          strict_spans=True)
+        assert res["triples"].count() > 0

@@ -194,3 +194,92 @@ def test_canonical_literal_roundtrip():
     assert canonical_literal(infer_cell("true")) == "true"
     assert canonical_literal(infer_cell("x y")) == '"x y"'
     assert canonical_literal(infer_cell("")) == "null"
+
+
+class TestWireFormatParity:
+    """Byte-level parity with the reference wire format, checked against
+    hand-computed struct layouts (pack_header entity_file.py:240-254;
+    pack_props entity_file.py:322-331; edge '=QQ' relation_type.py:89-91).
+    """
+
+    def test_pack_header_layout(self):
+        import struct
+
+        from redisgraph_bulk_loader_spark.kernel.typing_kernel import (
+            pack_header,
+        )
+
+        got = pack_header("Person", ["name", None, "age"])
+        expected = struct.pack(
+            "=7sI5s4s", b"Person", 2, b"name", b"age"
+        )
+        assert got == expected
+        # null terminators present between fields
+        assert got.count(b"\x00") >= 3
+
+    def test_pack_header_empty_props(self):
+        import struct
+
+        from redisgraph_bulk_loader_spark.kernel.typing_kernel import (
+            pack_header,
+        )
+
+        assert pack_header("X", [None]) == struct.pack("=2sI", b"X", 0)
+
+    def test_pack_node_row_inferred(self):
+        import struct
+
+        from redisgraph_bulk_loader_spark.kernel.typing_kernel import (
+            TAG_DOUBLE, TAG_LONG, TAG_STRING, pack_node_row,
+        )
+
+        got = pack_node_row(["42", "x", "5.5", "skipme"],
+                            ["a", "b", "c", None])
+        expected = (
+            struct.pack("=Bq", TAG_LONG, 42)
+            + struct.pack("=B2s", TAG_STRING, b"x")
+            + struct.pack("=Bd", TAG_DOUBLE, 5.5)
+        )
+        assert got == expected
+
+    def test_pack_node_row_enforced(self):
+        import struct
+
+        import pytest as _pytest
+
+        from redisgraph_bulk_loader_spark.exceptions import SchemaError
+        from redisgraph_bulk_loader_spark.kernel.typing_kernel import (
+            TAG_BOOL, TAG_LONG, pack_node_row,
+        )
+
+        got = pack_node_row(["7", "true"], ["n", "f"], [TAG_LONG, TAG_BOOL])
+        assert got == struct.pack("=Bq", TAG_LONG, 7) + struct.pack(
+            "=B?", TAG_BOOL, True)
+        with _pytest.raises(SchemaError):
+            pack_node_row(["notanint"], ["n"], [TAG_LONG])
+
+    def test_pack_edge_row_qq_prefix(self):
+        import struct
+
+        from redisgraph_bulk_loader_spark.kernel.typing_kernel import (
+            TAG_STRING, pack_edge_row,
+        )
+
+        got = pack_edge_row(3, 9, ["rel", "prop"], [None, "p"])
+        assert got[:16] == struct.pack("=QQ", 3, 9)
+        assert got[16:] == struct.pack("=B5s", TAG_STRING, b"prop")
+
+    def test_array_row_roundtrip_layout(self):
+        import struct
+
+        from redisgraph_bulk_loader_spark.kernel.typing_kernel import (
+            TAG_ARRAY, TAG_LONG, pack_node_row,
+        )
+
+        got = pack_node_row(["[1,2]"], ["arr"])
+        expected = (
+            struct.pack("=Bq", TAG_ARRAY, 2)
+            + struct.pack("=Bq", TAG_LONG, 1)
+            + struct.pack("=Bq", TAG_LONG, 2)
+        )
+        assert got == expected
