@@ -240,10 +240,13 @@ def _q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def _q_dedup_simhash(spark, sf_dir):
+    """SimHash near-dup with the portable (md5-prefix) token hash so
+    the DuckDB oracle reproduces the exact bits, bands, and pair set —
+    the oracle replicates the algorithm, banding misses included."""
     docs = _t(spark, sf_dir, "documents")
-    return simhash_dup_pairs(docs, "doc_id", "text", max_hamming=6).select(
-        "id_a", "id_b", "hamming"
-    )
+    return simhash_dup_pairs(
+        docs, "doc_id", "text", max_hamming=6, portable_hash=True
+    ).select("id_a", "id_b", "hamming")
 
 
 def _q_ann_brute_force(spark, sf_dir):
@@ -371,6 +374,19 @@ def _q_ann_self_join(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Full dedup composition: exact near-dup pairs -> connected
+    components -> survivor (min id) per cluster, identity for docs in
+    no pair. Oracle = recursive-CTE transitive closure over the same
+    exact pair set."""
+    from redisgraph_bulk_loader_spark.operators.dedup import (
+        dedup_assignments,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return dedup_assignments(docs, "doc_id", "text", threshold=0.5)
+
+
 def _q_events_sessionize(spark, sf_dir):
     events = _t(spark, sf_dir, "events")
     s = sessionize_events(events, gap_minutes=30)
@@ -420,6 +436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_connected_components": _q_kg_connected_components,
         "kg_loader_types": _q_kg_loader_types,
         "ann_self_join": _q_ann_self_join,
+        "dedup_clusters": _q_dedup_clusters,
         "media_features": _q_media_features,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
     }
@@ -505,6 +522,49 @@ def _ann_lsh_oracle_sql() -> str:
                  ROW_NUMBER() OVER (PARTITION BY query_id
                                     ORDER BY cs DESC, neighbor_id) AS rank
           FROM scored) WHERE rank <= 5
+    """
+
+
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of simhash_dup_pairs(portable_hash=True,
+    max_hamming=6): same md5-prefix 60-bit token hash, same 64 per-bit
+    vote sums, same 4x16-bit banding and hamming verification."""
+    votes = ",\n".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+        for b in range(64)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN v{b} > 0 THEN (1::BIGINT << {b}) ELSE 0 END)"
+        for b in range(64)
+    )
+    bands = "(0),(1),(2),(3)"
+    return f"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents
+        ),
+        hashed AS (
+          SELECT doc_id,
+                 ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+          FROM toks
+        ),
+        votes AS (SELECT doc_id, {votes} FROM hashed GROUP BY doc_id),
+        sims AS (SELECT doc_id, {sim} AS simhash FROM votes),
+        bands(band) AS (VALUES {bands}),
+        banded AS (
+          SELECT doc_id, simhash, band,
+                 (simhash >> (band * 16)) & 65535 AS bucket
+          FROM sims CROSS JOIN bands
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 bit_count(xor(a.simhash, b.simhash)) AS hamming
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, hamming FROM cand WHERE hamming <= 6
     """
 
 
@@ -623,6 +683,7 @@ def oracle_sql() -> dict[str, str]:
         # candidate recall is ~1-1e-4 per pair — the exact pair set IS
         # the oracle (verified equal at the driver's sf).
         "dedup_minhash_lsh": _EXACT_JACCARD_PAIRS_SQL,
+        "dedup_simhash": _simhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "kg_connected_components": """
             WITH RECURSIVE base AS (
@@ -645,6 +706,43 @@ def oracle_sql() -> dict[str, str]:
         "kg_loader_types": """
             SELECT internal_id, key, props_json
             FROM read_parquet('/root/repo/tests/golden/loader_types.parquet')
+        """,
+        "dedup_clusters": r"""
+            WITH RECURSIVE sh AS (
+              SELECT DISTINCT doc_id AS id, unnest(ngrams) AS sh FROM (
+                SELECT doc_id,
+                       list_distinct([
+                         array_to_string(toks[i:i+2], ' ')
+                         FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)
+                       ]) AS ngrams
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(trim(text)), '\s+') AS toks
+                      FROM documents))
+            ),
+            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+              GROUP BY a.id, b.id, (SELECT sz FROM sizes WHERE id = a.id),
+                       (SELECT sz FROM sizes WHERE id = b.id)
+              HAVING CAST(COUNT(*) AS DOUBLE)
+                     / ((SELECT sz FROM sizes WHERE id = a.id)
+                        + (SELECT sz FROM sizes WHERE id = b.id)
+                        - COUNT(*)) >= 0.5
+            ),
+            sym AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION SELECT id_b, id_a FROM pairs
+            ),
+            reach(a, b) AS (
+              SELECT u, v FROM sym
+              UNION
+              SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+            ),
+            rep AS (SELECT a AS id, LEAST(a, MIN(b)) AS r
+                    FROM reach GROUP BY a)
+            SELECT d.doc_id, COALESCE(rep.r, d.doc_id) AS rep_id
+            FROM documents d LEFT JOIN rep ON rep.id = d.doc_id
         """,
         "ann_self_join": """
             WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v

@@ -112,16 +112,31 @@ def jaccard(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(0.0)).otherwise(inter / union)
 
 
+def portable_hash64(col: Column) -> Column:
+    """60-bit cross-engine token hash: the first 15 hex chars of md5,
+    parsed base-16. Identically computable in DuckDB as
+    ``('0x' || substr(md5(t),1,15))::BIGINT`` — used by the oracled
+    SimHash variant so the DuckDB twin reproduces the exact bits.
+    (xxhash64 is JVM-only; md5 exists everywhere.)"""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def simhash_df(
-    df: DataFrame, id_cols: List[str], tokens_col: str, *, out_col: str = "simhash"
+    df: DataFrame, id_cols: List[str], tokens_col: str, *,
+    out_col: str = "simhash", portable: bool = False
 ) -> DataFrame:
     """Add a 64-bit SimHash column computed from a token-array column.
 
     Distributed form: explode tokens -> one hash-aggregate with 64
     per-bit vote sums (map-side partial combine) -> assemble bits.
+    ``portable=True`` swaps xxhash64 for the md5-prefix hash so the
+    result is reproducible outside the JVM (bits 60-63 then vote
+    uniformly negative and stay 0 — deterministic on both sides).
     """
     tok = F.explode(F.col(tokens_col)).alias("_tok")
-    exploded = df.select(*id_cols, tok).withColumn("_h", F.xxhash64(F.col("_tok")))
+    hash_col = (portable_hash64(F.col("_tok")) if portable
+                else F.xxhash64(F.col("_tok")))
+    exploded = df.select(*id_cols, tok).withColumn("_h", hash_col)
     votes = [
         F.sum(
             F.when(

@@ -134,15 +134,19 @@ def simhash_dup_pairs(
     text_col: str,
     *,
     max_hamming: int = 3,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: split the 64-bit hash into 4 16-bit
     bands; by pigeonhole any pair within hamming<=3 shares an exact
-    band — join per band, verify full hamming distance."""
+    band — join per band, verify full hamming distance.
+    ``portable_hash`` uses the md5-prefix token hash so a DuckDB twin
+    can reproduce the exact pair set (oracle mode)."""
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashed = simhash_df(
         df.select(F.col(id_col).alias("_id"), toks.alias("_toks")),
         ["_id"],
         "_toks",
+        portable=portable_hash,
     )
     banded = hashed.select(
         "_id",
@@ -172,4 +176,53 @@ def simhash_dup_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def dedup_assignments(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int = 10000,
+) -> DataFrame:
+    """Full dedup assignment: near-dup pairs -> connected components ->
+    one surviving representative (min id) per cluster; docs in no pair
+    survive as themselves. The composition a training-data pipeline
+    actually runs (pairs alone under-merge: a~b, b~c must collapse to
+    one survivor even when a~c misses the threshold).
+
+    Returns (id_col, rep_id). CC runs on xxhash64(id) longs; the
+    representative is the min *string* id per component, so hash
+    values never surface."""
+    from ..canon import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        df, id_col, text_col,
+        n=n, threshold=threshold, max_shingle_freq=max_shingle_freq,
+    )
+    edges = pairs.select(
+        F.xxhash64("id_a").alias("u"), F.xxhash64("id_b").alias("v")
+    )
+    cc = connected_components(edges)
+    members = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+        .withColumn("node", F.xxhash64(F.col(id_col)))
+    )
+    with_comp = members.join(cc, "node")
+    reps = with_comp.groupBy("component").agg(F.min(id_col).alias("_rep"))
+    assigned = with_comp.join(F.broadcast(reps), "component").select(
+        id_col, F.col("_rep")
+    )
+    return (
+        df.select(id_col).distinct()
+        .join(assigned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_rep"), F.col(id_col)).alias("rep_id"),
+        )
     )

@@ -3,3 +3,4 @@ from .stream import (  # noqa: F401
     sessionize_events,
     stream_events_to_graph,
 )
+from .stateful import sessionize_stream  # noqa: F401

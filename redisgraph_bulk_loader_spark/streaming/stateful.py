@@ -1,0 +1,77 @@
+"""Custom stateful streaming operator: cross-batch sessionization.
+
+The batch sessionizer (stream.py:sessionize_events) needs the whole
+history per user; a stream cannot re-sort the past. This is the
+standard case for ``applyInPandasWithState``: per-user state carries
+(last event time, session count, event count) across micro-batches, so
+a session spanning a batch boundary is counted once.
+
+Batch arithmetic is vectorized inside each Arrow batch (int64
+nanosecond math + shifted comparison) — no per-row Python beyond the
+group loop the API mandates.
+
+Ordering contract: events within a user must arrive in non-decreasing
+micro-batch order (the file/kafka source's natural order); late data
+beyond that is the caller's watermark + drop policy, exactly like the
+reference's updater applies rows strictly in arrival order
+(bulk_update.py:106-119).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+
+
+def sessionize_stream(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Streaming gap-based sessionization. Emits one
+    (user_id, n_sessions, n_events) row per touched user per
+    micro-batch (update mode); the latest row per user is the running
+    total. Cross-batch state: a session open at the end of one batch
+    continues into the next."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state):
+        if state.exists:
+            last_us, n_sessions, n_events = state.get
+        else:
+            last_us, n_sessions, n_events = None, 0, 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            us = (pdf[ts_col].astype("int64") // 1000).sort_values()
+            prev = us.shift(1)
+            if last_us is not None:
+                prev.iloc[0] = last_us
+            # NaN (no previous event ever) compares False -> counted
+            # via fillna: a first-ever event always opens a session
+            gaps_new = ((us - prev) > gap_us) | prev.isna()
+            n_sessions += int(gaps_new.sum())
+            n_events += int(len(us))
+            last_us = int(us.iloc[-1])
+        state.update((last_us, n_sessions, n_events))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [n_events],
+            }
+        )
+
+    return events.groupBy(user_col).applyInPandasWithState(
+        fn,
+        "user_id long, n_sessions long, n_events long",
+        "last_us long, n_sessions long, n_events long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -157,3 +157,36 @@ class TestUpdater:
         assert ms == mm
         assert len(ms) == 80
         assert ms["40"] == "new40" and ms["10"] == "v10"
+
+
+class TestUpdater100k:
+    def test_100k_rows_multibatch_equals_single(self, spark):
+        """The reference's largest tested load (100,000 rows in small
+        batches, test_bulk_update.py:306-343): multi-batch apply must
+        equal single-batch apply AND a sequential python fold (strict
+        file-order last-wins), with bounded lineage (checkpoint_every).
+        """
+        from pyspark.sql import functions as F
+
+        base = spark.range(0, 50_000).select(
+            F.col("id").alias("ext_id"), F.lit("init").alias("v")
+        )
+        n = 100_000
+        upd = spark.range(0, n).select(
+            (F.col("id") % 30_000).alias("ext_id"),
+            F.concat(F.lit("v"), F.col("id")).alias("v"),
+            F.col("id").alias("row_idx"),
+        )
+        single = apply_updates(base, upd, ["ext_id"],
+                               max_rows_per_batch=10**9)
+        multi = apply_updates(base, upd, ["ext_id"],
+                              max_rows_per_batch=10_000,
+                              checkpoint_every=4)
+        s = {r.ext_id: r.v for r in single.collect()}
+        m = {r.ext_id: r.v for r in multi.collect()}
+        assert s == m
+        # python fold oracle: strict row order, last occurrence wins
+        expect = {k: "init" for k in range(50_000)}
+        for i in range(n):
+            expect[i % 30_000] = f"v{i}"
+        assert m == expect
