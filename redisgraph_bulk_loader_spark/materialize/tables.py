@@ -61,6 +61,9 @@ class GraphCatalog:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _snapshot_path(self, table: str, idx: int) -> str:
+        return os.path.join(self.root, table, f"_snap_{idx}")
+
     def exists(self, table: str) -> bool:
         return table in self._manifest()["tables"]
 
@@ -76,29 +79,37 @@ class GraphCatalog:
     ) -> None:
         """Write a table; record a snapshot + lineage entry. The row
         count piggybacks the write via ``observe`` — no re-read/count
-        job per written table."""
+        job per written table.
+
+        Snapshot semantics mirror Iceberg: every write lands in a fresh
+        snapshot directory, the manifest's snapshot list is the commit
+        log, and reads resolve the current snapshot — so 'overwrite' is
+        non-destructive and ``read_at``/``rollback`` give time travel."""
         from pyspark.sql import Observation
 
         t0 = time.time()
+        m = self._manifest()
+        entry = m["tables"].get(table, {"snapshots": []})
+        snap_idx = len(entry["snapshots"])
         obs = Observation()
         observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
         writer = observed.write.mode(mode)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self.path(table))
+        writer.parquet(self._snapshot_path(table, snap_idx))
         wall = time.time() - t0
         n = obs.get["n"]
-        m = self._manifest()
-        entry = m["tables"].get(table, {"snapshots": []})
         entry["snapshots"].append(
             {
                 "ts": time.time(),
                 "rows": n,
                 "mode": mode,
+                "snapshot": snap_idx,
                 "partition_by": partition_by or [],
                 "input_fingerprint": input_fingerprint,
             }
         )
+        entry["current"] = snap_idx
         m["tables"][table] = entry
         if stage:
             m["lineage"].append(
@@ -114,7 +125,39 @@ class GraphCatalog:
         self._save_manifest(m)
 
     def read(self, table: str) -> DataFrame:
+        """Read the table's current snapshot (legacy flat layout falls
+        back to the table directory itself)."""
+        entry = self._manifest()["tables"].get(table)
+        if entry is not None and "current" in entry:
+            return self.spark.read.parquet(
+                self._snapshot_path(table, entry["current"]))
         return self.spark.read.parquet(self.path(table))
+
+    def read_at(self, table: str, snapshot: int) -> DataFrame:
+        """Time travel: read a specific snapshot index (negative counts
+        from the end, like Iceberg's snapshot log)."""
+        entry = self._manifest()["tables"][table]
+        n = len(entry["snapshots"])
+        idx = snapshot if snapshot >= 0 else n + snapshot
+        if not (0 <= idx < n):
+            raise IndexError(f"{table} has {n} snapshots; asked for {snapshot}")
+        return self.spark.read.parquet(self._snapshot_path(table, idx))
+
+    def rollback(self, table: str, snapshot: int) -> None:
+        """Point the table's current snapshot at an older one (files
+        stay; the commit log records the rollback as metadata-only,
+        exactly Iceberg's rollback semantics)."""
+        m = self._manifest()
+        entry = m["tables"][table]
+        n = len(entry["snapshots"])
+        idx = snapshot if snapshot >= 0 else n + snapshot
+        if not (0 <= idx < n):
+            raise IndexError(f"{table} has {n} snapshots; asked for {snapshot}")
+        entry["current"] = idx
+        self._save_manifest(m)
+
+    def snapshots(self, table: str) -> List[dict]:
+        return list(self._manifest()["tables"][table]["snapshots"])
 
     def is_complete(self, stage: str, input_fingerprint: str) -> bool:
         """True if this stage already ran against this exact input —

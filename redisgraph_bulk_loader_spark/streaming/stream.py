@@ -78,6 +78,27 @@ def stream_events_to_graph(
     return writer.start()
 
 
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window_duration: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming windowed aggregation with late-data policy: events
+    later than ``watermark`` behind the stream's max event time are
+    dropped; windows finalize (append mode) once the watermark passes
+    their end. Works identically on batch frames (watermark is a no-op
+    there), so the DuckDB-oracled batch query is this plan's twin."""
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.window(ts_col, window_duration).alias("w"), F.col(key_col))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("win_start"), key_col, "n")
+    )
+
+
 def sessionize_events(
     events: DataFrame,
     *,

@@ -143,3 +143,67 @@ class TestPlanShapes:
         # AQE's final-plan toString marks whole-stage codegen as "*(n)"
         assert "isFinalPlan=true" in plan
         assert "*(1)" in plan or "*(2)" in plan or "WholeStageCodegen" in plan
+
+
+class TestScalePlanAudits:
+    """explain()-level audits: the shapes that must hold at 100 TB."""
+
+    def _docs(self, spark, n=40):
+        rows = [(f"d{i}", f"alpha beta gamma delta {i % 7}") for i in range(n)]
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_dedup_family_never_cartesian(self, spark):
+        from redisgraph_bulk_loader_spark.operators.dedup import (
+            minhash_lsh_dedup_pairs,
+            ngram_jaccard_pairs,
+            simhash_dup_pairs,
+        )
+
+        docs = self._docs(spark)
+        for op in (
+            lambda: ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.5),
+            lambda: minhash_lsh_dedup_pairs(docs, "doc_id", "text",
+                                            threshold=0.5),
+            lambda: simhash_dup_pairs(docs, "doc_id", "text"),
+        ):
+            plan = plan_of(op())
+            assert "CartesianProduct" not in plan
+            assert "BatchEvalPython" not in plan
+
+    def test_ann_self_join_never_cartesian(self, spark):
+        from redisgraph_bulk_loader_spark.operators.similarity import (
+            ann_self_join_pairs,
+        )
+
+        emb = spark.createDataFrame(
+            [(i, [float(i % 5), 1.0, 2.0, 0.5]) for i in range(30)],
+            "vec_id long, embedding array<double>",
+        )
+        plan = plan_of(ann_self_join_pairs(emb, dim=4, bits=8, bands=4))
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_pipeline_python_only_in_extraction(self, spark):
+        """The full build plan's ONLY Python is the Arrow extractor —
+        linking, canonicalization joins, dedup, ids are JVM-side."""
+        from redisgraph_bulk_loader_spark.plans import build_graph
+        from redisgraph_bulk_loader_spark.sources import (
+            alias_table,
+            synthesize_documents,
+        )
+
+        docs = synthesize_documents(spark, 50, seed=42)
+        res = build_graph(spark, docs, alias_table(spark), None)
+        plan = plan_of(res["triples"])
+        assert "BatchEvalPython" not in plan  # no row-at-a-time python
+        # Arrow-batched extraction is the single sanctioned python op
+        assert "MapInArrow" in plan or "InMemoryTableScan" in plan
+
+    def test_documents_source_column_pruning(self, spark):
+        df = (
+            spark.read.parquet(os.path.join(SF, "documents.parquet"))
+            .select("doc_id")
+        )
+        plan = plan_of(df)
+        read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+        assert "doc_id" in read_schema and "text" not in read_schema

@@ -9,6 +9,8 @@ import os
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from redisgraph_bulk_loader_spark.streaming import (
     incremental_graph_update,
     stream_events_to_graph,
@@ -65,11 +67,10 @@ def test_stream_to_graph_available_now(spark, tmp_path):
 
 class TestStatefulSessionize:
     def test_sessions_span_micro_batches(self, spark, tmp_path):
-        """A session crossing a micro-batch boundary is counted ONCE
-        (state carries last event time); sessions fully inside either
-        batch count normally. maxFilesPerTrigger=1 forces two batches
-        in file order."""
-        import time as _time
+        """A session crossing a micro-batch boundary is counted ONCE.
+        Two separate availableNow runs share a checkpoint: the second
+        run restores per-user state, so its emissions reflect events
+        it never saw — proof the state carried."""
         from datetime import datetime, timedelta
 
         from redisgraph_bulk_loader_spark.streaming.stateful import (
@@ -82,39 +83,92 @@ class TestStatefulSessionize:
             return (uid, base + timedelta(minutes=minutes))
 
         schema = "user_id long, ts timestamp"
-        # batch 1: u1 events at 0,10; u2 at 0
-        # batch 2: u1 at 20 (same session: gap 10 < 30) and 200 (new);
-        #          u2 at 100 (new session)
         src = tmp_path / "stream_src"
         src.mkdir()
+
+        def run_once(qname):
+            got = {}
+
+            def sink(batch_df, _bid):
+                for r in batch_df.collect():
+                    got[r.user_id] = (r.n_sessions, r.n_events)
+
+            stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+            q = (
+                sessionize_stream(stream, gap_minutes=30)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            return got
+
+        # run 1: u1 at 0,10; u2 at 0
         spark.createDataFrame([ev(1, 0), ev(1, 10), ev(2, 0)], schema) \
             .coalesce(1).write.parquet(str(src / "b1"))
-        _time.sleep(1.1)  # file-source batch order follows mtime
+        first = run_once("sess_run1")
+        assert first[1] == (1, 2) and first[2] == (1, 1)
+
+        # run 2 (state restored): u1 at 20 joins the OPEN session
+        # (gap 10 < 30) and 200 opens a new one; u2 at 100 opens one
         spark.createDataFrame([ev(1, 20), ev(1, 200), ev(2, 100)], schema) \
             .coalesce(1).write.parquet(str(src / "b2"))
+        second = run_once("sess_run2")
+        assert second[1] == (2, 4)   # cumulative despite seeing 2 events
+        assert second[2] == (2, 2)
 
-        stream = (
-            spark.readStream.schema(schema)
-            .option("maxFilesPerTrigger", "1")
-            .parquet(str(src / "*"))
+
+class TestWatermarkWindowedAgg:
+    def test_late_event_dropped_windows_finalize(self, spark, tmp_path):
+        """Streaming windowed counts with a 10-minute watermark across
+        two availableNow runs (shared checkpoint): an event arriving in
+        the second run but behind the checkpointed watermark is
+        DROPPED; finalized append-mode windows reflect on-time data."""
+        from datetime import datetime, timedelta
+
+        from redisgraph_bulk_loader_spark.streaming import (
+            windowed_event_counts,
         )
-        out = sessionize_stream(stream, gap_minutes=30)
-        q = (
-            out.writeStream.format("memory")
-            .queryName("sess_out")
-            .outputMode("update")
-            .option("checkpointLocation", str(tmp_path / "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(120)
-        rows = spark.sql("SELECT * FROM sess_out").collect()
-        # latest emission per user = max n_events
-        latest = {}
-        for r in rows:
-            if r.user_id not in latest or r.n_events > latest[r.user_id][1]:
-                latest[r.user_id] = (r.n_sessions, r.n_events)
-        # u1: sessions at minute 0 (events 0,10,20) and minute 200
-        assert latest[1] == (2, 4)
-        # u2: sessions at minute 0 and minute 100
-        assert latest[2] == (2, 2)
+
+        base = datetime(2024, 1, 1)
+
+        def ev(minutes, etype="click"):
+            return (base + timedelta(minutes=minutes), etype)
+
+        schema = "ts timestamp, event_type string"
+        src = tmp_path / "wsrc"
+        src.mkdir()
+        sink = str(tmp_path / "wsink")
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+            q = (
+                windowed_event_counts(stream, watermark="10 minutes")
+                .writeStream.format("parquet")
+                .option("path", sink)
+                .outputMode("append")
+                .option("checkpointLocation", str(tmp_path / "wckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        # run 1: window-0 events at 0:00,0:20; 2:00 event pushes the
+        # watermark to 1:50 -> window 0 finalizes with n=2
+        spark.createDataFrame([ev(0), ev(20), ev(120)], schema) \
+            .coalesce(1).write.parquet(str(src / "b1"))
+        run_once()
+        # run 2: LATE event at 0:10 (behind the checkpointed watermark
+        # -> dropped) + 5:00 event finalizes the 2:00 window
+        spark.createDataFrame([ev(10), ev(300)], schema) \
+            .coalesce(1).write.parquet(str(src / "b2"))
+        run_once()
+
+        rows = {
+            r.win_start: r.n
+            for r in spark.read.parquet(sink).collect()
+        }
+        assert rows.get(base) == 2                       # late drop held
+        assert rows.get(base + timedelta(hours=2)) == 1  # finalized run 2
