@@ -304,22 +304,31 @@ def _q_kg_connected_components(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    """Multimodal plumbing: binary payloads -> fixed-width features
-    (stub decode; rows-only)."""
+    """Multimodal plumbing with an exact oracle over every
+    SQL-derivable surface: mime/size metadata of the binary payloads
+    and the 1->N frame-sampling fan-out. The stub decode FEATURES are
+    pinned by pytest instead (DuckDB 1.0 cannot sha256 a BLOB, and a
+    golden of our own stub output would be circular)."""
     from redisgraph_bulk_loader_spark.operators.multimodal import (
         extract_media_features,
+        sample_frames,
         synthesize_media,
     )
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     refs = docs.select(
         F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")).alias(
             "media_ref"
         )
     )
     media = synthesize_media(spark, refs)
-    return extract_media_features(media).select(
-        "media_ref", "mime", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0")
+    feats = extract_media_features(media).select("media_ref", "mime", "n_bytes")
+    frames = sample_frames(media).groupBy("media_ref").agg(
+        F.count("*").alias("n_frames")
+    )
+    return feats.join(frames, "media_ref", "left").select(
+        "media_ref", "mime", "n_bytes",
+        F.coalesce("n_frames", F.lit(0)).alias("n_frames"),
     )
 
 
@@ -706,6 +715,31 @@ def oracle_sql() -> dict[str, str]:
         "kg_loader_types": """
             SELECT internal_id, key, props_json
             FROM read_parquet('/root/repo/tests/golden/loader_types.parquet')
+        """,
+        "media_features": """
+            WITH refs AS (
+              SELECT 'img://doc/' || CAST(doc_id AS VARCHAR) AS media_ref
+              FROM documents WHERE doc_id < 200
+            ),
+            d AS (
+              SELECT media_ref, sha256(media_ref) AS dh FROM refs
+            ),
+            derived AS (
+              SELECT media_ref,
+                     ('0x' || substr(dh, 1, 2))::INT AS b0,
+                     ('0x' || substr(dh, 3, 2))::INT % 7 + 2 AS k,
+                     64 + ('0x' || substr(dh, 5, 2))::INT AS cap,
+                     1000 + ('0x' || substr(dh, 11, 2))::INT * 10 AS dur_ms
+              FROM d
+            )
+            SELECT media_ref,
+                   CASE WHEN b0 % 2 = 0 THEN 'image/fake'
+                        ELSE 'audio/fake' END AS mime,
+                   LEAST(cap, 32 * k) AS n_bytes,
+                   CASE WHEN b0 % 2 = 0 THEN 0
+                        ELSE LEAST(GREATEST(dur_ms // 1000, 1), 32)
+                   END AS n_frames
+            FROM derived
         """,
         "dedup_clusters": r"""
             WITH RECURSIVE sh AS (

@@ -199,10 +199,13 @@ def dedup_assignments(
     values never surface."""
     from ..canon import connected_components
 
+    # The inverted-index pair join is the expensive plan and three
+    # consumers reference it (edges + both member projections): pin it.
+    # Near-dup pairs are O(duplicates), far smaller than the corpus.
     pairs = ngram_jaccard_pairs(
         df, id_col, text_col,
         n=n, threshold=threshold, max_shingle_freq=max_shingle_freq,
-    )
+    ).localCheckpoint(eager=True)
     edges = pairs.select(
         F.xxhash64("id_a").alias("u"), F.xxhash64("id_b").alias("v")
     )
