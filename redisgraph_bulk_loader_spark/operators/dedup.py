@@ -187,6 +187,7 @@ def dedup_assignments(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int = 10000,
+    method: str = "minhash",
 ) -> DataFrame:
     """Full dedup assignment: near-dup pairs -> connected components ->
     one surviving representative (min id) per cluster; docs in no pair
@@ -194,18 +195,33 @@ def dedup_assignments(
     actually runs (pairs alone under-merge: a~b, b~c must collapse to
     one survivor even when a~c misses the threshold).
 
+    ``method='minhash'`` (default, the 100 TB path) generates
+    candidates by banding and keeps only exact-Jaccard-verified pairs —
+    identical to the exact pair set wherever banding recall is 1 (all
+    high-similarity dups). ``method='exact'`` runs the inverted-index
+    join: every pair, O(sum freq^2) shuffle — correctness tool, not the
+    scale path.
+
     Returns (id_col, rep_id). CC runs on xxhash64(id) longs; the
     representative is the min *string* id per component, so hash
     values never surface."""
     from ..canon import connected_components
 
-    # The inverted-index pair join is the expensive plan and three
-    # consumers reference it (edges + both member projections): pin it.
-    # Near-dup pairs are O(duplicates), far smaller than the corpus.
-    pairs = ngram_jaccard_pairs(
-        df, id_col, text_col,
-        n=n, threshold=threshold, max_shingle_freq=max_shingle_freq,
-    ).localCheckpoint(eager=True)
+    # The pair join is the expensive plan and three consumers reference
+    # it (edges + both member projections): pin it. Near-dup pairs are
+    # O(duplicates), far smaller than the corpus.
+    if method == "minhash":
+        pairs = minhash_lsh_dedup_pairs(
+            df, id_col, text_col, n=n, threshold=threshold,
+        )
+    elif method == "exact":
+        pairs = ngram_jaccard_pairs(
+            df, id_col, text_col,
+            n=n, threshold=threshold, max_shingle_freq=max_shingle_freq,
+        )
+    else:
+        raise ValueError("method must be 'minhash' or 'exact'")
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(
         F.xxhash64("id_a").alias("u"), F.xxhash64("id_b").alias("v")
     )
