@@ -27,7 +27,9 @@ MAX_TOKEN_COUNT = 1024 * 1023
 
 @dataclass
 class Config:
-    max_token_count: int = 1024
+    # class default is the hard cap, like the reference Config
+    # (test_config.py:test_default_values); the CLI passes 1024
+    max_token_count: int = 1024 * 1023
     max_buffer_size: int = 64  # MB
     max_token_size: int = 64  # MB
     enforce_schema: bool = False

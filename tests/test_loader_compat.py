@@ -304,3 +304,77 @@ class TestLoaderSemantics:
             json.loads(r.props_json)['"name"'] for r in g.nodes.collect()
         )
         assert vals == ['"\\"30165\\""', '"\\"Beebop\\""']
+
+
+class TestConfigParity:
+    """Reference test_config.py twins (defaults, modified values, caps,
+    escapechar opt-out)."""
+
+    def test_default_values(self):
+        cfg = Config()
+        assert cfg.max_token_count == 1024 * 1023
+        assert cfg.max_buffer_size == 64 and cfg.max_token_size == 64
+        assert cfg.enforce_schema is False
+        assert cfg.id_type == "STRING"
+        assert not cfg.skip_invalid_nodes and not cfg.skip_invalid_edges
+        assert not cfg.store_node_identifiers
+        assert cfg.separator == ","
+        assert cfg.quoting == 3
+        # reference config.py:17 defaults to backslash escape
+        assert cfg.escapechar == "\\"
+
+    def test_modified_values(self):
+        cfg = Config(
+            max_token_count=10, max_buffer_size=500, max_token_size=200,
+            enforce_schema=True, id_type="INTEGER",
+            skip_invalid_nodes=True, skip_invalid_edges=True,
+            separator="|", quoting=0,
+        )
+        assert cfg.max_token_count == 10
+        assert cfg.max_buffer_size == 500 and cfg.max_token_size == 200
+        assert cfg.enforce_schema and cfg.id_type == "INTEGER"
+        assert cfg.skip_invalid_nodes and cfg.skip_invalid_edges
+        assert cfg.separator == "|" and cfg.quoting == 0
+
+    def test_caps_enforced(self):
+        import pytest as _pytest
+        with _pytest.raises(ValueError):
+            Config(max_token_count=1024 * 1023 + 1)
+        with _pytest.raises(ValueError):
+            Config(max_buffer_size=1025)
+        with _pytest.raises(ValueError):
+            Config(max_token_size=513, max_buffer_size=1024)
+        with _pytest.raises(ValueError):
+            Config(id_type="GUID")
+
+    def test_escapechar_none_optout(self):
+        # the reference CLI's "none" spelling disables escaping
+        assert Config(escapechar="none").escapechar is None
+        assert Config(escapechar="NONE").escapechar is None
+        assert Config(escapechar="\\").escapechar == "\\"
+
+
+class TestUpdaterRuntimeError:
+    def test_runtime_cast_failure_fails_the_job(self, spark, tmp_path):
+        """Reference test_runtime_error analogue: a fragment that
+        analyzes fine but fails at execution (ANSI cast of a non-number)
+        must fail the job, not silently null."""
+        import pytest as _pytest
+
+        from redisgraph_bulk_loader_spark.plans.updater import (
+            read_update_csv,
+            run_update_query,
+        )
+
+        p = tmp_path / "u.csv"
+        p.write_text("id,val\na,notanumber\n")
+        existing = spark.createDataFrame([("z", 1)], "ext_id string, v int")
+        rows = read_update_csv(spark, str(p))
+        # ANSI mode (Spark 4 default) fails the cast during the batched
+        # apply's eager materialization — inside run_update_query
+        with _pytest.raises(Exception, match="(?i)cast|number|ansi"):
+            run_update_query(
+                spark, existing, rows,
+                "row[0] AS ext_id, CAST(row[1] AS INT) AS v",
+                key_cols=["ext_id"],
+            ).collect()
