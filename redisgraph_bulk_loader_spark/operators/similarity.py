@@ -80,7 +80,7 @@ def ann_self_join_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.9,
-    bits: int = 16,
+    bits: int = 32,
     bands: int = 4,
     dim: int = 64,
     seed: int = 42,
@@ -103,10 +103,13 @@ def ann_self_join_pairs(
     mask = (1 << rows_per_band) - 1
 
     def signature(vec):
-        sig = F.lit(0)
+        # long accumulation: 1 << 31 overflows an int literal
+        sig = F.lit(0).cast("long")
         for i, plane in enumerate(planes):
             p = F.array(*[F.lit(float(x)) for x in plane])
-            sig = sig + F.when(_dot(vec, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            sig = sig + F.when(
+                _dot(vec, p) > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         return sig
 
     base = corpus.select(
@@ -164,10 +167,13 @@ def lsh_bucketed_topk(
     planes = _random_planes(dim, bits, seed)
 
     def signature(vec):
-        sig = F.lit(0)
+        # long accumulation: 1 << 31 overflows an int literal
+        sig = F.lit(0).cast("long")
         for i, plane in enumerate(planes):
             p = F.array(*[F.lit(float(x)) for x in plane])
-            sig = sig + F.when(_dot(vec, p) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            sig = sig + F.when(
+                _dot(vec, p) > 0, F.lit(1 << i).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
         return sig
 
     c = corpus.select(

@@ -234,31 +234,23 @@ def bulk_insert(
             )
         )
     if edge_frames:
+        from ..operators.endpoints import resolve_endpoints
+
         all_edges = edge_frames[0]
         for f in edge_frames[1:]:
             all_edges = all_edges.unionByName(f)
-        reg_b = F.broadcast(registry)
-        resolved = all_edges.join(
-            reg_b.select(F.col("key").alias("src_key"),
-                         F.col("internal_id").alias("src_internal")),
-            "src_key", "left",
-        ).join(
-            reg_b.select(F.col("key").alias("dst_key"),
-                         F.col("internal_id").alias("dst_internal")),
-            "dst_key", "left",
+        reg = registry.select(F.col("key").alias("ext_id"), "internal_id")
+        # eager_check: the reference CLI fails at load time with a typed
+        # error (relation_type.py:74-88); loader inputs are dim-scale,
+        # so the extra validation job is bounded
+        resolved = resolve_endpoints(
+            all_edges, reg,
+            src_col="src_key", dst_col="dst_key",
+            skip_invalid=cfg.skip_invalid_edges,
+            broadcast_registry=True, eager_check=True,
         )
-        bad = F.col("src_internal").isNull() | F.col("dst_internal").isNull()
         if cfg.skip_invalid_edges:
-            skipped = resolved.filter(bad).count()
-            resolved = resolved.filter(~bad)
-        else:
-            sample = resolved.filter(bad).limit(1).collect()
-            if sample:
-                r = sample[0]
-                raise CSVError(
-                    "Relationship specified a non-existent identifier. "
-                    f"src: {r['src_key']}; dest: {r['dst_key']}"
-                )
+            skipped = all_edges.count() - resolved.count()
         edges = resolved.select(
             "src_internal", "dst_internal", "rel_type", "props_json"
         )
