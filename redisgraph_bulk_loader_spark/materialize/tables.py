@@ -99,6 +99,8 @@ class GraphCatalog:
         writer.parquet(self._snapshot_path(table, snap_idx))
         wall = time.time() - t0
         n = obs.get["n"]
+        partitions = self._partition_counts(
+            self._snapshot_path(table, snap_idx))
         entry["snapshots"].append(
             {
                 "ts": time.time(),
@@ -118,11 +120,36 @@ class GraphCatalog:
                     "table": table,
                     "input_fingerprint": input_fingerprint,
                     "row_count": n,
+                    "n_partitions": len(partitions),
+                    "partitions": partitions[:256],
                     "wall_sec": round(wall, 3),
                     "ts": time.time(),
                 }
             )
         self._save_manifest(m)
+
+    @staticmethod
+    def _partition_counts(path: str) -> List[dict]:
+        """Per-output-partition row counters from parquet footers
+        (north_rule: per-partition lineage). Footer-only reads — no
+        data scan; a resume can verify each partition landed intact."""
+        import pyarrow.parquet as pq
+
+        out = []
+        for dirpath, _dirs, files in os.walk(path):
+            for fn in sorted(files):
+                if not fn.endswith(".parquet"):
+                    continue
+                fp = os.path.join(dirpath, fn)
+                try:
+                    rows = pq.ParquetFile(fp).metadata.num_rows
+                except Exception:
+                    continue
+                out.append({
+                    "file": os.path.relpath(fp, path),
+                    "rows": int(rows),
+                })
+        return out
 
     def read(self, table: str) -> DataFrame:
         """Read the table's current snapshot (legacy flat layout falls

@@ -172,3 +172,19 @@ class TestWatermarkWindowedAgg:
         }
         assert rows.get(base) == 2                       # late drop held
         assert rows.get(base + timedelta(hours=2)) == 1  # finalized run 2
+
+
+class TestPerPartitionLineage:
+    def test_partition_counters_recorded(self, spark, tmp_path):
+        """north_rule: per-partition lineage + counters — every write
+        records per-output-file row counts summing to the stage total."""
+        from redisgraph_bulk_loader_spark.materialize import GraphCatalog
+
+        cat = GraphCatalog(spark, str(tmp_path / "cat"))
+        df = spark.range(0, 1000).repartition(4)
+        cat.write("t", df, stage="s", input_fingerprint="f")
+        rec = cat.lineage()[-1]
+        assert rec["row_count"] == 1000
+        assert rec["n_partitions"] == 4
+        assert sum(p["rows"] for p in rec["partitions"]) == 1000
+        assert all(p["file"].endswith(".parquet") for p in rec["partitions"])
