@@ -364,8 +364,10 @@ def _q_ann_self_join(spark, sf_dir):
     """Embedding near-dup pairs (corpus-vs-corpus, banded hyperplane
     self-join + exact cosine verify). Near-copies are planted by
     scaling 50 vectors (sign patterns are scale-invariant, so banding
-    recall on them is exactly 1); the oracle is the exact O(n^2)
-    cosine join."""
+    recall on them is exactly 1); the oracle is an algorithm twin —
+    the SAME seeded hyperplanes, banding, and cosine verification
+    reproduced in SQL — so equality is dataset-independent (banding
+    misses reproduce identically on both sides)."""
     from redisgraph_bulk_loader_spark.operators.similarity import (
         ann_self_join_pairs,
     )
@@ -387,13 +389,17 @@ def _q_dedup_clusters(spark, sf_dir):
     """Full dedup composition: exact near-dup pairs -> connected
     components -> survivor (min id) per cluster, identity for docs in
     no pair. Oracle = recursive-CTE transitive closure over the same
-    exact pair set."""
+    exact pair set; the oracled variant runs method='exact' so equality
+    holds by algorithm, not by banding recall on this dataset (the
+    minhash composition is benched separately in bench.py and its pair
+    stage is oracled via dedup_minhash_lsh)."""
     from redisgraph_bulk_loader_spark.operators.dedup import (
         dedup_assignments,
     )
 
     docs = _t(spark, sf_dir, "documents")
-    return dedup_assignments(docs, "doc_id", "text", threshold=0.5)
+    return dedup_assignments(docs, "doc_id", "text", threshold=0.5,
+                             method="exact")
 
 
 def _q_events_sessionize(spark, sf_dir):
@@ -531,6 +537,61 @@ def _ann_lsh_oracle_sql() -> str:
                  ROW_NUMBER() OVER (PARTITION BY query_id
                                     ORDER BY cs DESC, neighbor_id) AS rank
           FROM scored) WHERE rank <= 5
+    """
+
+
+def _ann_self_join_oracle_sql() -> str:
+    """DuckDB twin of ann_self_join_pairs(bits=32, bands=4, dim=64,
+    seed=42, threshold=0.9): the SAME hyperplane constants drive
+    signature/band/bucket computation SQL-side over the SAME extended
+    corpus (base + 1.01-scaled copies), then exact cosine verifies —
+    the oracle checks the banded-LSH algorithm itself, including any
+    banding misses, so equality does not depend on dataset recall."""
+    from redisgraph_bulk_loader_spark.operators.similarity import (
+        _random_planes,
+    )
+
+    planes = _random_planes(64, 32, 42)
+    plane_rows = ",\n".join(
+        f"({b}, [{', '.join(repr(x) for x in p)}])"
+        for b, p in enumerate(planes)
+    )
+    return f"""
+        WITH planes(bit, plane) AS (VALUES {plane_rows}),
+        base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        ext AS (
+          SELECT vec_id, v FROM base
+          UNION ALL
+          SELECT vec_id + 100000, list_transform(v, x -> x * 1.01)
+          FROM base WHERE vec_id < 50
+        ),
+        sigs AS (
+          SELECT vec_id,
+                 CAST(SUM(CASE WHEN list_inner_product(v, plane) > 0
+                          THEN (1::BIGINT << bit) ELSE 0 END) AS BIGINT)
+                   AS sig
+          FROM ext, planes GROUP BY vec_id
+        ),
+        bands(band) AS (VALUES (0),(1),(2),(3)),
+        banded AS (
+          SELECT vec_id, band, (sig >> (band * 8)) & 255 AS bucket
+          FROM sigs CROSS JOIN bands
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM banded a JOIN banded b
+            ON a.band = b.band AND a.bucket = b.bucket
+           AND a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, ROUND(cs, 6) AS csim FROM (
+          SELECT c.id_a, c.id_b,
+                 list_inner_product(ea.v, eb.v)
+                   / (sqrt(list_inner_product(ea.v, ea.v))
+                      * sqrt(list_inner_product(eb.v, eb.v))) AS cs
+          FROM cand c
+          JOIN ext ea ON ea.vec_id = c.id_a
+          JOIN ext eb ON eb.vec_id = c.id_b)
+        WHERE cs >= 0.9
     """
 
 
@@ -778,24 +839,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, COALESCE(rep.r, d.doc_id) AS rep_id
             FROM documents d LEFT JOIN rep ON rep.id = d.doc_id
         """,
-        "ann_self_join": """
-            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v
-                          FROM embeddings),
-            ext AS (
-              SELECT vec_id, v FROM base
-              UNION ALL
-              SELECT vec_id + 100000, list_transform(v, x -> x * 1.01)
-              FROM base WHERE vec_id < 50
-            )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND(list_inner_product(a.v, b.v)
-                         / (sqrt(list_inner_product(a.v, a.v))
-                            * sqrt(list_inner_product(b.v, b.v))), 6) AS csim
-            FROM ext a JOIN ext b ON a.vec_id < b.vec_id
-            WHERE list_inner_product(a.v, b.v)
-                  / (sqrt(list_inner_product(a.v, a.v))
-                     * sqrt(list_inner_product(b.v, b.v))) >= 0.9
-        """,
+        "ann_self_join": _ann_self_join_oracle_sql(),
         "ann_brute_force": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
                        FROM embeddings WHERE vec_id < 3),
@@ -841,7 +885,8 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_sess
               FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
             )
-            SELECT user_id, SUM(new_sess) AS n_sessions, COUNT(*) AS n_events
+            SELECT user_id, CAST(SUM(new_sess) AS BIGINT) AS n_sessions,
+                   COUNT(*) AS n_events
             FROM flagged GROUP BY user_id
         """,
         "events_windowed": """
