@@ -20,6 +20,30 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def injective_node_ids(
+    vocab: DataFrame, col: str, id_col: str = "node"
+) -> DataFrame:
+    """(col) -> (col, id_col: long) collision-free node-id mapping for
+    CC callers whose natural ids are strings.
+
+    Longs come from ``monotonically_increasing_id`` (partition index
+    << 33 + in-partition offset — injective by construction, no
+    birthday bound), pinned by an eager ``localCheckpoint`` so the
+    mapping cannot shift across plan re-evaluation or task retry.
+    Collision-freedom matters: bare ``xxhash64(string)`` reaches ~50%
+    probability of at least one collision at ~5e9 distinct ids —
+    inside the 100 TB envelope — and one collision welds two
+    components. The longs are internal to CC (8 bytes/node through
+    every shuffle round); callers pick representatives from their own
+    natural ids, so the arbitrary numbering never surfaces."""
+    return (
+        vocab.select(col)
+        .distinct()
+        .withColumn(id_col, F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+
+
 def _symmetrize(e: DataFrame) -> DataFrame:
     return (
         e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))

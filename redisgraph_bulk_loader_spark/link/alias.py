@@ -143,6 +143,8 @@ def link_mentions(
     surface_cols=("subj_surface", "obj_surface"),
     collect_dim: bool | None = None,
     dim: DataFrame | None = None,
+    broadcast_vocab: bool | None = None,
+    vocab_rows: int | None = None,
 ) -> DataFrame:
     """Resolve each surface column to ``<col>_cid`` via the broadcast
     alias dict; misses stay null for the LSH stage.
@@ -158,6 +160,14 @@ def link_mentions(
     every fact row was the measured allocation hot spot. The fact side
     then does plain string-equality broadcast joins (codegen, minimal
     garbage). The distinct is a map-side-combined partial aggregate.
+
+    The resolved-vocabulary broadcast is size-gated: distinct surfaces
+    over 10^12 docs can still be 1e8-1e9 rows, which must fall back to
+    a shuffle join rather than OOM every executor. ``broadcast_vocab``
+    =None (auto) persists the distinct vocabulary and counts it (one
+    map-side-combined agg; the persist is then reused by the resolve
+    join); pass ``vocab_rows`` when known to skip the counting job, or
+    True/False to force a strategy.
     """
     if dim is None:
         if aliases is None:
@@ -167,13 +177,22 @@ def link_mentions(
     # single vocabulary pass (a union of selects would scan per column)
     vocab = mentions.select(
         F.explode(F.array(*[F.col(c) for c in surface_cols])).alias("_surface")
-    )
-    resolved = F.broadcast(
-        vocab.distinct()
+    ).distinct()
+    if broadcast_vocab is None:
+        if vocab_rows is None:
+            vocab = vocab.persist()
+            vocab_rows = vocab.count()
+        from ..operators.endpoints import BROADCAST_THRESHOLD_ROWS
+
+        broadcast_vocab = vocab_rows <= BROADCAST_THRESHOLD_ROWS
+    resolved = (
+        vocab
         .withColumn("_norm", normalize_surface(F.col("_surface")))
         .join(dim, "_norm", "left")
         .select("_surface", F.col("canonical_id"))
     )
+    if broadcast_vocab:
+        resolved = F.broadcast(resolved)
     out = mentions
     for col in surface_cols:
         cid_col = col.replace("_surface", "_cid")

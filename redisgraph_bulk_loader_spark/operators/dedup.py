@@ -202,10 +202,15 @@ def dedup_assignments(
     join: every pair, O(sum freq^2) shuffle — correctness tool, not the
     scale path.
 
-    Returns (id_col, rep_id). CC runs on xxhash64(id) longs; the
-    representative is the min *string* id per component, so hash
-    values never surface."""
+    Returns (id_col, rep_id). CC runs on collision-free injective
+    longs assigned over the pair-member vocabulary (bare xxhash64(id)
+    has a ~50% birthday collision at ~5e9 distinct ids — squarely
+    inside the 100 TB envelope, and one collision welds two clusters);
+    the representative is the min *string* id per component, so node
+    longs never surface."""
     from ..canon import connected_components
+    from ..canon.components import injective_node_ids
+    from .endpoints import BROADCAST_THRESHOLD_ROWS
 
     # The pair join is the expensive plan and three consumers reference
     # it (edges + both member projections): pin it. Near-dup pairs are
@@ -222,19 +227,30 @@ def dedup_assignments(
     else:
         raise ValueError("method must be 'minhash' or 'exact'")
     pairs = pairs.localCheckpoint(eager=True)
-    edges = pairs.select(
-        F.xxhash64("id_a").alias("u"), F.xxhash64("id_b").alias("v")
-    )
-    cc = connected_components(edges)
     members = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))
         .distinct()
-        .withColumn("node", F.xxhash64(F.col(id_col)))
     )
-    with_comp = members.join(cc, "node")
+    node_map = injective_node_ids(members, id_col)
+    n_members = node_map.count()  # checkpointed above — near-free
+    edges = (
+        pairs.join(node_map.select(F.col(id_col).alias("id_a"),
+                                   F.col("node").alias("u")), "id_a")
+        .join(node_map.select(F.col(id_col).alias("id_b"),
+                              F.col("node").alias("v")), "id_b")
+        .select("u", "v")
+    )
+    cc = connected_components(edges)
+    with_comp = node_map.join(cc, "node")
     reps = with_comp.groupBy("component").agg(F.min(id_col).alias("_rep"))
-    assigned = with_comp.join(F.broadcast(reps), "component").select(
+    # reps has one row per duplicate cluster — at web scale duplicates
+    # are 30-50% of the corpus, so broadcast only while it provably
+    # fits (gated on the member count, an upper bound on clusters);
+    # above the gate it is a shuffle join on component.
+    if n_members <= BROADCAST_THRESHOLD_ROWS:
+        reps = F.broadcast(reps)
+    assigned = with_comp.join(reps, "component").select(
         id_col, F.col("_rep")
     )
     return (

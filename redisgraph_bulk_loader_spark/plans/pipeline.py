@@ -81,17 +81,37 @@ def _lsh_extra_mappings(
 def canonicalize(aliases: DataFrame) -> DataFrame:
     """Connected components over the surface<->canonical bipartite
     sameAs graph; returns (canonical_id -> canon_id) remap where
-    canon_id is the smallest canonical id in the component."""
-    nodes_s = aliases.select(
-        F.xxhash64(F.concat(F.lit("s:"), "surface")).alias("u"),
-        F.xxhash64(F.concat(F.lit("c:"), "canonical_id")).alias("v"),
+    canon_id is the smallest canonical id in the component.
+
+    CC node ids are collision-free injective longs over the
+    tagged-string vocabulary (bare xxhash64 has a ~50% birthday
+    collision at ~5e9 distinct ids; one collision would weld two
+    entities) — see canon.components.injective_node_ids."""
+    from ..canon.components import injective_node_ids
+
+    tagged = aliases.select(
+        F.concat(F.lit("s:"), "surface").alias("_a"),
+        F.concat(F.lit("c:"), "canonical_id").alias("_b"),
     )
-    cc = connected_components(nodes_s, "u", "v")
+    vocab = tagged.select(F.col("_a").alias("_t")).union(
+        tagged.select(F.col("_b").alias("_t"))
+    )
+    node_map = injective_node_ids(vocab, "_t")
+    edges = (
+        tagged.join(node_map.select(F.col("_t").alias("_a"),
+                                    F.col("node").alias("u")), "_a")
+        .join(node_map.select(F.col("_t").alias("_b"),
+                              F.col("node").alias("v")), "_b")
+        .select("u", "v")
+    )
+    cc = connected_components(edges, "u", "v")
     canon_nodes = aliases.select("canonical_id").distinct().withColumn(
-        "node", F.xxhash64(F.concat(F.lit("c:"), "canonical_id"))
+        "_t", F.concat(F.lit("c:"), "canonical_id")
     )
-    with_comp = canon_nodes.join(cc, "node", "left").withColumn(
-        "component", F.coalesce("component", "node")
+    with_comp = (
+        canon_nodes.join(node_map, "_t")
+        .join(cc, "node", "left")
+        .withColumn("component", F.coalesce("component", "node"))
     )
     reps = with_comp.groupBy("component").agg(
         F.min("canonical_id").alias("canon_id")
