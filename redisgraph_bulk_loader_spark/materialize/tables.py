@@ -84,16 +84,24 @@ class GraphCatalog:
         Snapshot semantics mirror Iceberg: every write lands in a fresh
         snapshot directory, the manifest's snapshot list is the commit
         log, and reads resolve the current snapshot — so 'overwrite' is
-        non-destructive and ``read_at``/``rollback`` give time travel."""
+        non-destructive and ``read_at``/``rollback`` give time travel.
+        ``mode='append'`` snapshots current ∪ delta (snapshot dirs are
+        immutable, so the delta is unioned with the current snapshot
+        before writing — the new snapshot is the full appended table,
+        and prior snapshots remain readable via ``read_at``)."""
         from pyspark.sql import Observation
 
+        if mode not in ("overwrite", "append"):
+            raise ValueError("mode must be 'overwrite' or 'append'")
         t0 = time.time()
         m = self._manifest()
         entry = m["tables"].get(table, {"snapshots": []})
         snap_idx = len(entry["snapshots"])
+        if mode == "append" and entry["snapshots"]:
+            df = self.read(table).unionByName(df)
         obs = Observation()
         observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        writer = observed.write.mode(mode)
+        writer = observed.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(self._snapshot_path(table, snap_idx))
@@ -109,6 +117,11 @@ class GraphCatalog:
                 "snapshot": snap_idx,
                 "partition_by": partition_by or [],
                 "input_fingerprint": input_fingerprint,
+                # Schema rides the commit log (as in Iceberg metadata):
+                # an empty write can land zero parquet files (AQE
+                # coalesces empty shuffle output to zero tasks), and an
+                # empty table must still be readable.
+                "schema": observed.schema.json(),
             }
         )
         entry["current"] = snap_idx
@@ -151,13 +164,23 @@ class GraphCatalog:
                 })
         return out
 
+    def _read_snapshot(self, table: str, entry: dict, idx: int) -> DataFrame:
+        snap = entry["snapshots"][idx]
+        if snap.get("rows") == 0 and snap.get("schema"):
+            # zero-row snapshot: may contain no parquet files at all;
+            # serve it from the recorded schema
+            from pyspark.sql.types import StructType
+
+            return self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(snap["schema"])))
+        return self.spark.read.parquet(self._snapshot_path(table, idx))
+
     def read(self, table: str) -> DataFrame:
         """Read the table's current snapshot (legacy flat layout falls
         back to the table directory itself)."""
         entry = self._manifest()["tables"].get(table)
         if entry is not None and "current" in entry:
-            return self.spark.read.parquet(
-                self._snapshot_path(table, entry["current"]))
+            return self._read_snapshot(table, entry, entry["current"])
         return self.spark.read.parquet(self.path(table))
 
     def read_at(self, table: str, snapshot: int) -> DataFrame:
@@ -168,7 +191,7 @@ class GraphCatalog:
         idx = snapshot if snapshot >= 0 else n + snapshot
         if not (0 <= idx < n):
             raise IndexError(f"{table} has {n} snapshots; asked for {snapshot}")
-        return self.spark.read.parquet(self._snapshot_path(table, idx))
+        return self._read_snapshot(table, entry, idx)
 
     def rollback(self, table: str, snapshot: int) -> None:
         """Point the table's current snapshot at an older one (files

@@ -133,7 +133,9 @@ def resolve_endpoints(
         return joined
     # Inline strict validation: the error fires inside the projection of
     # whatever action consumes the result — the double-join runs ONCE,
-    # not once for validation and again for the real action.
+    # not once for validation and again for the real action. BOTH
+    # internal-id columns carry the guard, so a caller that projects
+    # only one of them (column pruning drops the other) still validates.
     err = F.concat(
         F.lit("Relationship specified a non-existent identifier. src: "),
         F.coalesce(F.col(src_col).cast("string"), F.lit("null")),
@@ -143,4 +145,7 @@ def resolve_endpoints(
     return joined.withColumn(
         "src_internal",
         F.when(bad, F.raise_error(err)).otherwise(F.col("src_internal")),
+    ).withColumn(
+        "dst_internal",
+        F.when(bad, F.raise_error(err)).otherwise(F.col("dst_internal")),
     )

@@ -135,9 +135,14 @@ def build_graph(
     With a catalog, the extraction stage checkpoints its output table
     (north_rule: every stage resumes without recomputation) — which
     also means downstream passes scan a columnar table instead of
-    holding the full mention stream in executor cache."""
+    holding the full mention stream in executor cache.
+
+    The resume fingerprint covers doc_id AND span content: a corpus
+    whose text/spans changed under unchanged doc_ids must not reuse a
+    stale mentions checkpoint. Cost is one content scan per run; the
+    resume-skip case pays that scan instead of the full extraction."""
     fp = (
-        GraphCatalog.fingerprint_df(documents.select("doc_id"))
+        GraphCatalog.fingerprint_df(documents.select("doc_id", "spans"))
         if catalog is not None else None
     )
 

@@ -106,6 +106,17 @@ class TestEndpoints:
         with pytest.raises(Exception, match="non-existent identifier"):
             out.collect()
 
+    def test_strict_check_survives_partial_projection(self, spark, registry):
+        """ADVICE r2: the inline guard is fused into BOTH internal-id
+        columns, so projecting only dst_internal (column pruning drops
+        src_internal and any check riding it) still raises."""
+        edges = spark.createDataFrame(
+            [("99", "3")], "src_id string, dst_id string"
+        )
+        out = resolve_endpoints(edges, registry, skip_invalid=False)
+        with pytest.raises(Exception, match="non-existent identifier"):
+            out.select("dst_internal").collect()
+
     def test_unknown_endpoint_strict_eager_raises(self, spark, registry):
         edges = spark.createDataFrame(
             [("0", "99")], "src_id string, dst_id string"
@@ -376,6 +387,55 @@ class TestCatalogResume:
         # data round-trips
         assert cat.read("t1").count() == 100
         assert cat.lineage()[0]["row_count"] == 100
+
+    def test_append_mode_unions_with_current(self, spark, tmp_path):
+        """ADVICE r2: append must not replace the table with the delta.
+        The new snapshot is current ∪ delta; prior snapshots remain
+        time-travelable."""
+        cat = GraphCatalog(spark, str(tmp_path / "cat"))
+        cat.write("t", spark.range(0, 10))
+        cat.write("t", spark.range(10, 15), mode="append")
+        assert cat.read("t").count() == 15
+        assert sorted(r.id for r in cat.read("t").collect()) == list(range(15))
+        assert cat.read_at("t", 0).count() == 10
+        # append to a not-yet-existing table is a plain first write
+        cat.write("t2", spark.range(3), mode="append")
+        assert cat.read("t2").count() == 3
+        with pytest.raises(ValueError, match="mode"):
+            cat.write("t", spark.range(1), mode="ignore")
+
+    def test_pipeline_fingerprint_covers_span_content(self, spark, tmp_path):
+        """ADVICE r2: re-running build_graph over a corpus whose spans
+        changed but doc_ids did not must NOT reuse the stale mentions
+        checkpoint."""
+        from redisgraph_bulk_loader_spark.plans import build_graph
+        from redisgraph_bulk_loader_spark.sources import (
+            alias_table,
+            synthesize_documents,
+        )
+
+        docs = synthesize_documents(spark, 60, seed=42)
+        changed = docs.withColumn(
+            "spans",
+            F.transform(
+                "spans",
+                lambda s: s.withField(
+                    "text", F.concat(s["text"], F.lit(" CHANGED"))
+                ),
+            ),
+        )
+        fp1 = GraphCatalog.fingerprint_df(docs.select("doc_id", "spans"))
+        fp2 = GraphCatalog.fingerprint_df(changed.select("doc_id", "spans"))
+        assert fp1 != fp2
+        cat = GraphCatalog(spark, str(tmp_path / "cat"))
+        build_graph(spark, docs, alias_table(spark), cat)
+        n_snaps = len(cat.snapshots("mentions"))
+        build_graph(spark, docs, alias_table(spark), cat)
+        # unchanged input resumes (no new mentions snapshot)
+        assert len(cat.snapshots("mentions")) == n_snaps
+        build_graph(spark, changed, alias_table(spark), cat)
+        # changed spans under the same doc_ids re-extract
+        assert len(cat.snapshots("mentions")) == n_snaps + 1
 
 
 class TestDedupAssignments:
