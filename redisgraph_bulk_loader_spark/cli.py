@@ -186,7 +186,22 @@ def _update_parser() -> argparse.ArgumentParser:
                     help="batch bound, interpreted as 1000 rows per MB")
     ap.add_argument("--key-cols", default="ext_id",
                     help="comma-separated MERGE key columns "
-                         "(the Spark analogue of the Cypher MERGE pattern)")
+                         "(the Spark analogue of the Cypher MERGE pattern); "
+                         "'ext_id' transparently maps onto an insert-produced "
+                         "catalog's 'key' column")
+    ap.add_argument("--label", "-l", default="N",
+                    help="label for nodes the update creates "
+                         "(the :L in the reference's MERGE pattern)")
+    ap.add_argument("--edge", action="store_true",
+                    help="edge-creation mode (the reference's "
+                         "'MATCH (src) CREATE (src)-[:R]->(dest)' shape): "
+                         "--query must project src_key, dst_key, and "
+                         "optional dest property columns")
+    ap.add_argument("--rel-type", default="R",
+                    help="relationship type for --edge mode")
+    ap.add_argument("--merge-edges", action="store_true",
+                    help="MERGE instead of CREATE semantics in --edge "
+                         "mode (at most one edge per src/dst/type)")
     ap.add_argument("--output", default=None,
                     help="catalog root directory (default ./<graph>_graph)")
     ap.add_argument("--master", default="local[*]")
@@ -199,6 +214,8 @@ def update_main(argv: Optional[list] = None) -> int:
     from .plans.updater import (
         compose_update_query,
         read_update_csv,
+        run_edge_update_query,
+        run_node_merge_query,
         run_update_query,
     )
 
@@ -210,18 +227,51 @@ def update_main(argv: Optional[list] = None) -> int:
               file=sys.stderr)
         return 1
     existing = catalog.read("nodes")
+    key_cols = args.key_cols.split(",")
+    # An insert-produced catalog keys nodes by 'key'; the reference-
+    # style default --key-cols ext_id transparently maps onto it.
+    requested_key = key_cols[0]
+    if (key_cols == ["ext_id"] and "ext_id" not in existing.columns
+            and "key" in existing.columns):
+        key_cols = ["key"]
     rows = read_update_csv(
         spark, args.csv, separator=args.separator,
         no_header=args.no_header, variable_name=args.variable_name,
     )
     print(compose_update_query(args.query, args.variable_name))
     t0 = time.time()
-    merged = run_update_query(
-        spark, existing, rows, args.query,
-        variable_name=args.variable_name,
-        key_cols=args.key_cols.split(","),
-        max_rows_per_batch=args.max_token_size * 1000,
-    )
+    if args.edge:
+        edges = catalog.read("edges") if catalog.exists("edges") else None
+        nodes2, edges2 = run_edge_update_query(
+            spark, existing, edges, rows, args.query,
+            variable_name=args.variable_name,
+            rel_type=args.rel_type, dest_label=args.label,
+            key_col=key_cols[0], dedup_edges=args.merge_edges,
+        )
+        catalog.write("nodes", nodes2, stage="update", input_fingerprint=None)
+        catalog.write("edges", edges2, stage="update", input_fingerprint=None)
+        n = catalog.read("nodes").count()
+        ne = catalog.read("edges").count()
+        print(f"Update of graph '{args.graph}' complete in "
+              f"{time.time() - t0:f} seconds ({n} nodes, {ne} relations)")
+        spark.stop()
+        return 0
+    if "props_json" in existing.columns and len(key_cols) == 1:
+        # loader-shaped nodes table: reference MERGE semantics — props
+        # fold into props_json, unmatched keys create labeled nodes
+        merged = run_node_merge_query(
+            spark, existing, rows, args.query,
+            variable_name=args.variable_name,
+            key_col=key_cols[0], label=args.label,
+            projected_key_col=requested_key,
+        )
+    else:
+        merged = run_update_query(
+            spark, existing, rows, args.query,
+            variable_name=args.variable_name,
+            key_cols=key_cols,
+            max_rows_per_batch=args.max_token_size * 1000,
+        )
     catalog.write("nodes", merged, stage="update", input_fingerprint=None)
     n = catalog.read("nodes").count()
     print(f"Update of graph '{args.graph}' complete in "

@@ -25,7 +25,7 @@ Spark mapping:
 
 from __future__ import annotations
 
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -199,6 +199,105 @@ def read_update_csv(
     return rdd_df.mapInPandas(run, schema=schema)
 
 
+def _props_map(prop_cols: List[str]):
+    """Column: map<name, canonical literal> over the given property
+    columns, rendered with quote_col (the loader's props_json literal
+    convention); NULL cells yield absent keys, like the loader
+    (test_no_null_values semantics)."""
+    if not prop_cols:
+        return F.map_from_arrays(F.array(), F.array())
+    m = F.map_from_arrays(
+        F.array(*[F.lit(c) for c in prop_cols]),
+        F.array(*[
+            F.when(F.col(c).isNotNull(), quote_col(F.col(c).cast("string")))
+            for c in prop_cols
+        ]),
+    )
+    return F.map_filter(m, lambda k, v: v.isNotNull())
+
+
+def upsert_nodes(
+    existing_nodes: DataFrame,
+    projected: DataFrame,
+    *,
+    key_col: str = "key",
+    label: str = "N",
+    order_col: str = "row_idx",
+) -> DataFrame:
+    """Reference MERGE-node semantics over a loader-produced nodes
+    table (internal_id, label, key, props_json) — the shape every
+    reference bulk_update test uses (``MERGE (:L {id: row[0], ...})``,
+    test_bulk_update.py:28-81):
+
+    - a row whose key matches an existing node updates its properties
+      (SET semantics: provided properties overwrite, properties not in
+      the projection are preserved, an explicitly NULL/empty cell
+      removes the property — null-valued properties are dropped, as
+      the reference server does);
+    - an unmatched key creates a new node with a fresh internal id
+      after the current max and the given ``label``;
+    - last occurrence wins within the update set (row order,
+      bulk_update.py:106-119).
+
+    Property columns are rendered as canonical literals via quote_col,
+    so upserted props_json is byte-compatible with loader output.
+    Update CSVs are dim-scale in the reference (<= the 100k-row
+    largest tested load); the global row_number and driver-side
+    max(internal_id) lookup are bounded by that, not by fact tables.
+    """
+    from pyspark.sql import Window
+
+    prop_cols = [c for c in projected.columns
+                 if c not in (key_col, order_col)]
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc())
+    upd = (
+        projected.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+        .withColumn("_new_props", _props_map(prop_cols))
+    )
+    joined = upd.join(
+        existing_nodes.select(
+            F.col(key_col),
+            F.col("internal_id").alias("_eid"),
+            F.col("label").alias("_elabel"),
+            F.col("props_json").alias("_eprops"),
+        ),
+        key_col,
+        "left",
+    )
+    old_map = F.from_json(F.coalesce(F.col("_eprops"), F.lit("{}")),
+                          "map<string,string>")
+    provided = F.array(*[F.lit(c) for c in prop_cols]) if prop_cols else F.array()
+    merged = F.map_concat(
+        F.map_filter(old_map, lambda k, v: ~F.array_contains(provided, k)),
+        F.col("_new_props"),
+    )
+    max_id = (existing_nodes.agg(F.max("internal_id")).first()[0]
+              if "internal_id" in existing_nodes.columns else None)
+    next_id = (max_id if max_id is not None else -1) + 1
+    merged_rows = (
+        joined.withColumn("props_json", F.to_json(merged))
+        .withColumn(
+            "internal_id",
+            F.coalesce(
+                F.col("_eid"),
+                F.lit(next_id - 1)
+                + F.row_number().over(
+                    Window.partitionBy(F.col("_eid").isNull())
+                    .orderBy(F.col(order_col))
+                ),
+            ),
+        )
+        .withColumn("label", F.coalesce(F.col("_elabel"), F.lit(label)))
+        .select(*existing_nodes.columns)
+    )
+    kept = existing_nodes.join(
+        upd.select(key_col), [key_col], "left_anti"
+    )
+    return kept.unionByName(merged_rows)
+
+
 def run_update_query(
     spark: SparkSession,
     existing: DataFrame,
@@ -232,4 +331,148 @@ def run_update_query(
     return apply_updates(
         existing, projected, key_cols,
         max_rows_per_batch=max_rows_per_batch, order_col="row_idx",
+    )
+
+
+def run_node_merge_query(
+    spark: SparkSession,
+    existing_nodes: DataFrame,
+    rows: DataFrame,
+    query: str,
+    *,
+    variable_name: str = "row",
+    key_col: str = "key",
+    label: str = "N",
+    projected_key_col: Optional[str] = None,
+) -> DataFrame:
+    """The reference's ``MERGE (:L {id: row[0], name: row[1]})`` shape
+    (test_bulk_update.py:28-81) against a loader-produced nodes table:
+    ``query`` projects the node key plus property columns; matched keys
+    get SET-style property updates, unmatched keys become new nodes
+    with fresh internal ids and ``label``. ``projected_key_col`` lets a
+    query written against the reference's ext_id naming address a table
+    keyed by ``key``. Compile-time validation as in run_update_query."""
+    view = "_rgbl_merge_rows"
+    rows.createOrReplaceTempView(view)
+    projected = spark.sql(f"SELECT {query}, row_idx FROM {view}")
+    cols = projected.limit(0).columns  # force analysis before any write
+    if key_col not in cols:
+        if projected_key_col and projected_key_col in cols:
+            projected = projected.withColumnRenamed(projected_key_col,
+                                                    key_col)
+        else:
+            raise ValueError(
+                f"node-merge query must project the key column "
+                f"'{key_col}' (got {cols})"
+            )
+    return upsert_nodes(
+        existing_nodes, projected, key_col=key_col, label=label,
+        order_col="row_idx",
+    )
+
+
+def merge_edges(
+    nodes: DataFrame,
+    edges: Optional[DataFrame],
+    projected: DataFrame,
+    *,
+    rel_type: str,
+    src_col: str = "src_key",
+    dst_col: str = "dst_key",
+    dest_label: str = "N",
+    key_col: str = "key",
+    order_col: str = "row_idx",
+    create_dest: bool = True,
+    dedup_edges: bool = False,
+):
+    """The reference's traversal-update shape — ``MATCH (src {id:
+    row[0]}) CREATE (src)-[:R]->(dest:L {id: row[1], ...})``
+    (test_bulk_update.py:83-121) — over loader tables:
+
+    1. rows whose ``src_col`` key has no existing node are dropped
+       (Cypher MATCH semantics: an unmatched pattern yields nothing, so
+       neither the dest node nor the edge is created for that row);
+    2. dest nodes are MERGEd (created if absent, property-SET if
+       present) with ``dest_label`` when ``create_dest``;
+    3. edges (src_internal, dst_internal, rel_type, props_json) are
+       appended — CREATE semantics; ``dedup_edges=True`` gives MERGE
+       semantics instead (at most one edge per (src, dst, rel_type)).
+
+    Returns (nodes, edges) — both full frames. Property columns beyond
+    ``src_col``/``dst_col`` become dest-node properties.
+    """
+    from ..operators.endpoints import resolve_endpoints
+
+    # 1. MATCH src: semi-join keeps only rows whose src node exists
+    matched = projected.join(
+        nodes.select(F.col(key_col).alias(src_col)).distinct(),
+        src_col,
+        "semi",
+    )
+    # 2. MERGE dest nodes (key = dst_col value, props = remaining cols)
+    if create_dest:
+        dest_proj = matched.select(
+            F.col(dst_col).alias(key_col),
+            *[c for c in matched.columns
+              if c not in (src_col, dst_col, key_col)],
+        )
+        nodes = upsert_nodes(
+            nodes, dest_proj, key_col=key_col, label=dest_label,
+            order_col=order_col,
+        )
+    # 3. resolve endpoints through the updated registry and append
+    registry = nodes.select(F.col(key_col).alias("ext_id"), "internal_id")
+    resolved = resolve_endpoints(
+        matched.select(F.col(src_col).alias("src_key"),
+                       F.col(dst_col).alias("dst_key")),
+        registry,
+        src_col="src_key",
+        dst_col="dst_key",
+        skip_invalid=not create_dest,
+    )
+    new_edges = resolved.select(
+        "src_internal", "dst_internal",
+        F.lit(rel_type).alias("rel_type"),
+        F.lit("{}").alias("props_json"),
+    )
+    if edges is not None:
+        out_edges = edges.unionByName(new_edges, allowMissingColumns=True)
+    else:
+        out_edges = new_edges
+    if dedup_edges:
+        out_edges = out_edges.dropDuplicates(
+            ["src_internal", "dst_internal", "rel_type"])
+    return nodes, out_edges
+
+
+def run_edge_update_query(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: Optional[DataFrame],
+    rows: DataFrame,
+    query: str,
+    *,
+    variable_name: str = "row",
+    rel_type: str,
+    dest_label: str = "N",
+    key_col: str = "key",
+    dedup_edges: bool = False,
+):
+    """Edge-creating update: ``query`` projects ``src_key``,
+    ``dst_key``, and optional dest-property columns; see merge_edges.
+    Mirrors the reference's relationship-creating bulk_update
+    (test_bulk_update.py:83-121) with the documented projection+MERGE
+    restriction."""
+    view = "_rgbl_edge_rows"
+    rows.createOrReplaceTempView(view)
+    projected = spark.sql(f"SELECT {query}, row_idx FROM {view}")
+    cols = projected.limit(0).columns  # force analysis before any write
+    for need in ("src_key", "dst_key"):
+        if need not in cols:
+            raise ValueError(
+                f"edge query must project '{need}' (got {cols})")
+    return merge_edges(
+        nodes, edges, projected,
+        rel_type=rel_type, dest_label=dest_label, key_col=key_col,
+        dedup_edges=dedup_edges,
     )
