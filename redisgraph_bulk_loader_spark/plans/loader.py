@@ -60,11 +60,62 @@ def _lines_with_index(
     return df.filter(F.col("row_idx") > 0) if skip_header else df
 
 
+def _logical_cells(
+    spark: SparkSession, path: str, cfg: Config, skip_header: bool = True
+) -> DataFrame:
+    """(row_idx, cells) via a whole-file csv parse — the only correct
+    reading when quoting is enabled: a quoted field may contain an
+    embedded newline (the reference iterates the file object with
+    csv.reader, entity_file.py:192-202, which handles them), so
+    physical lines are not records. Loader-compat inputs are dim-scale
+    (the reference's largest tested load is 100k rows); the single-task
+    parse is bounded by that, while the 10^12-row path (documents
+    pipeline, and the QUOTE_NONE default dialect where lines ARE
+    records) stays distributed."""
+    from pyspark.sql.types import ArrayType
+
+    sep, quoting, esc = cfg.separator, cfg.quoting, cfg.escapechar
+    whole = spark.read.text(path, wholetext=True)
+    schema = StructType([
+        StructField("row_idx", LongType()),
+        StructField("cells", ArrayType(StringType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx, rows = [], []
+            for text in pdf["value"]:
+                reader = _csv.reader(
+                    io.StringIO(text), delimiter=sep,
+                    skipinitialspace=True, quoting=quoting, escapechar=esc,
+                )
+                for i, row in enumerate(reader):
+                    if skip_header and i == 0:
+                        continue
+                    idx.append(i)
+                    rows.append([str(c) for c in row])
+            yield pd.DataFrame({"row_idx": idx, "cells": rows})
+
+    return whole.mapInPandas(run, schema=schema)
+
+
+def _record_source(spark: SparkSession, path: str, cfg: Config) -> DataFrame:
+    """Pick the record reader for the configured dialect: distributed
+    physical-line split under QUOTE_NONE (the reference default, where
+    a newline always ends a record), whole-file logical csv parse when
+    quoting is enabled (quoted fields may span lines)."""
+    if cfg.quoting == _csv.QUOTE_NONE:
+        return _lines_with_index(spark, path)
+    return _logical_cells(spark, path, cfg)
+
+
 def _parse_rows(
     lines: DataFrame, plan: ColumnPlan, cfg: Config, path: str
 ) -> DataFrame:
     """Parse raw lines with the reference csv dialect; validate arity;
-    type every property cell through the kernel. Output columns:
+    type every property cell through the kernel. Input is either
+    (line, row_idx) physical lines or (row_idx, cells) pre-split
+    logical records from _logical_cells. Output columns:
     row_idx, _key fields, props (map<string, canonical literal string>),
     plus typed id/endpoint columns."""
     n_cols = plan.column_count
@@ -94,12 +145,16 @@ def _parse_rows(
 
         for pdf in batches:
             out = {f.name: [] for f in schema.fields}
-            reader = _csv.reader(
-                io.StringIO("\n".join(pdf["line"].astype(str))),
-                delimiter=sep, skipinitialspace=True, quoting=quoting,
-                escapechar=esc,
-            )
-            for row_idx, row in zip(pdf["row_idx"], reader):
+            if "cells" in pdf.columns:
+                row_iter = zip(pdf["row_idx"], pdf["cells"])
+            else:
+                reader = _csv.reader(
+                    io.StringIO("\n".join(pdf["line"].astype(str))),
+                    delimiter=sep, skipinitialspace=True, quoting=quoting,
+                    escapechar=esc,
+                )
+                row_iter = zip(pdf["row_idx"], reader)
+            for row_idx, row in row_iter:
                 if len(row) != n_cols:
                     raise CSVError(
                         f"{path}:{int(row_idx)} Expected {n_cols} columns, "
@@ -176,7 +231,7 @@ def bulk_insert(
             store_node_identifiers=cfg.store_node_identifiers, source=path,
         )
         plans.append(plan)
-        parsed = _parse_rows(_lines_with_index(spark, path), plan, cfg, path)
+        parsed = _parse_rows(_record_source(spark, path, cfg), plan, cfg, path)
         node_frames.append(
             parsed.select(
                 F.lit(file_idx).alias("file_idx"),
@@ -224,7 +279,7 @@ def bulk_insert(
             enforce_schema=cfg.enforce_schema, id_type=cfg.id_type,
             source=path,
         )
-        parsed = _parse_rows(_lines_with_index(spark, path), plan, cfg, path)
+        parsed = _parse_rows(_record_source(spark, path, cfg), plan, cfg, path)
         edge_frames.append(
             parsed.select(
                 F.lit(plan.entity_str).alias("rel_type"),

@@ -378,3 +378,51 @@ class TestUpdaterRuntimeError:
                 "row[0] AS ext_id, CAST(row[1] AS INT) AS v",
                 key_cols=["ext_id"],
             ).collect()
+
+
+class TestQuotedMultilineFields:
+    """VERDICT r2 item 5: with quoting enabled, a quoted field may
+    contain an embedded newline; the reference's csv.reader over the
+    file object parses it as one record (entity_file.py:192-202)."""
+
+    CONTENT = 'name,desc\nalpha,"first line\nsecond line"\nbeta,plain\n'
+
+    def test_quoted_newline_matches_python_csv(self, spark, tmp_path):
+        import csv as _csv
+        import io as _io
+
+        p = tmp_path / "m.csv"
+        p.write_text(self.CONTENT)
+        # reference ground truth: python csv with the same dialect
+        expected = list(_csv.reader(
+            _io.StringIO(self.CONTENT), delimiter=",",
+            skipinitialspace=True, quoting=_csv.QUOTE_MINIMAL,
+            escapechar="\\",
+        ))[1:]
+        g = bulk_insert(spark, [(str(p), "M")], (),
+                        Config(quoting=_csv.QUOTE_MINIMAL))
+        rows = sorted(g.nodes.collect(), key=lambda r: r.internal_id)
+        assert [r.key for r in rows] == [e[0] for e in expected]
+        props = {r.key: json.loads(r.props_json) for r in rows}
+        # canonical string literals are json-encoded, so the embedded
+        # newline appears exactly as json.dumps renders the csv cell
+        assert props["alpha"]["desc"] == json.dumps(expected[0][1])
+        assert json.loads(props["alpha"]["desc"]) == "first line\nsecond line"
+        assert props["beta"]["desc"] == '"plain"'
+        # internal ids still follow record order
+        assert [r.internal_id for r in rows] == [0, 1]
+
+    def test_quote_none_still_splits_on_newline(self, spark, tmp_path):
+        """Under the QUOTE_NONE default dialect a newline always ends a
+        record (reference parity), so the same file is an arity error —
+        the distributed line reader is intentionally kept there."""
+        import csv as _csv
+
+        p = tmp_path / "m.csv"
+        p.write_text(self.CONTENT)
+        # the arity error fires inside the parsing task (surfaces as a
+        # PythonException wrapping CSVError at the first action, which
+        # bulk_insert's dense-id assignment triggers eagerly)
+        with pytest.raises(Exception, match="Expected 2 columns"):
+            bulk_insert(spark, [(str(p), "M")], (),
+                        Config(quoting=_csv.QUOTE_NONE)).nodes.collect()
