@@ -360,6 +360,57 @@ def _q_kg_loader_types(spark, sf_dir):
     return g.nodes.select("internal_id", "key", "props_json")
 
 
+def _q_kg_loader_enforced(spark, sf_dir):
+    """Enforced-schema loader lifecycle over committed fixtures — the
+    remaining loader semantics the driver never touched
+    (entity_file.py:256-298, relation_type.py:33-54): declared types
+    with casts, ID namespaces, a *named* ID column stored as a
+    property, a relation file resolving through the namespaced
+    registry to dense internal ids, and an id_type=INTEGER run with a
+    nameless ID column. Oracle = committed golden parquet of the
+    hand-derived expected output (tools/make_enforced_golden.py
+    asserts engine == hand-derived literals, then writes the golden
+    from the literals — non-circular)."""
+    from pyspark.sql.types import LongType
+
+    from redisgraph_bulk_loader_spark.config import Config
+    from redisgraph_bulk_loader_spark.plans.loader import bulk_insert
+
+    fix = "/root/repo/tests/fixtures"
+    a = bulk_insert(
+        spark,
+        [(f"{fix}/enforced_people.csv", "Person")],
+        [(f"{fix}/enforced_knows.csv", "KNOWS")],
+        Config(separator="|", enforce_schema=True),
+    )
+    b = bulk_insert(
+        spark,
+        [(f"{fix}/enforced_items.csv", "Item")],
+        (),
+        Config(separator="|", enforce_schema=True, id_type="INTEGER"),
+    )
+    # sentinels, not NULLs: the driver compares rows order-
+    # insensitively by sorting, and NULLs don't sort against ints
+    null_l = F.lit(-1).cast(LongType())
+    null_s = F.lit("")
+    nodes_a = a.nodes.select(
+        F.lit("people_nodes").alias("part"), "internal_id", "key",
+        "props_json", null_l.alias("src_internal"),
+        null_l.alias("dst_internal"), null_s.alias("rel_type"),
+    )
+    edges_a = a.edges.select(
+        F.lit("knows_edges").alias("part"), null_l.alias("internal_id"),
+        null_s.alias("key"), "props_json", "src_internal", "dst_internal",
+        "rel_type",
+    )
+    nodes_b = b.nodes.select(
+        F.lit("int_nodes").alias("part"), "internal_id", "key",
+        "props_json", null_l.alias("src_internal"),
+        null_l.alias("dst_internal"), null_s.alias("rel_type"),
+    )
+    return nodes_a.unionByName(edges_a).unionByName(nodes_b)
+
+
 def _q_ann_self_join(spark, sf_dir):
     """Embedding near-dup pairs (corpus-vs-corpus, banded hyperplane
     self-join + exact cosine verify). Near-copies are planted by
@@ -450,6 +501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_salted_join": _q_kg_salted_join,
         "kg_connected_components": _q_kg_connected_components,
         "kg_loader_types": _q_kg_loader_types,
+        "kg_loader_enforced": _q_kg_loader_enforced,
         "ann_self_join": _q_ann_self_join,
         "dedup_clusters": _q_dedup_clusters,
         "media_features": _q_media_features,
@@ -776,6 +828,11 @@ def oracle_sql() -> dict[str, str]:
         "kg_loader_types": """
             SELECT internal_id, key, props_json
             FROM read_parquet('/root/repo/tests/golden/loader_types.parquet')
+        """,
+        "kg_loader_enforced": """
+            SELECT part, internal_id, key, props_json,
+                   src_internal, dst_internal, rel_type
+            FROM read_parquet('/root/repo/tests/golden/loader_enforced.parquet')
         """,
         "media_features": """
             WITH refs AS (

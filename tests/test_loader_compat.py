@@ -426,3 +426,21 @@ class TestQuotedMultilineFields:
         with pytest.raises(Exception, match="Expected 2 columns"):
             bulk_insert(spark, [(str(p), "M")], (),
                         Config(quoting=_csv.QUOTE_NONE)).nodes.collect()
+
+
+class TestEnforcedGolden:
+    def test_enforced_lifecycle_matches_golden(self, spark):
+        """kg_loader_enforced vs the hand-derived golden
+        (tools/make_enforced_golden.py) — enforced schema, namespaces,
+        named-ID-as-property, ID_INTEGER, relation internal ids."""
+        import sys
+
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        import __spark_entry__ as entrymod
+
+        got = sorted(tuple(r) for r in entrymod.queries()
+                     ["kg_loader_enforced"](spark, "").collect())
+        exp = sorted(tuple(r) for r in spark.read.parquet(
+            "/root/repo/tests/golden/loader_enforced.parquet").collect())
+        assert got == exp
