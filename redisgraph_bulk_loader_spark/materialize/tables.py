@@ -38,11 +38,30 @@ from pyspark.sql import functions as F
 
 class GraphCatalog:
     def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+        if fmt not in ("parquet", "iceberg"):
+            raise ValueError("fmt must be 'parquet' or 'iceberg'")
+        if fmt == "iceberg" and not self.iceberg_available(spark):
+            raise RuntimeError(
+                "fmt='iceberg' requires the Iceberg Spark runtime on the "
+                "classpath (spark.jars.packages "
+                "org.apache.iceberg:iceberg-spark-runtime-...); it is not "
+                "present in this session"
+            )
         self.spark = spark
         self.root = root
         self.fmt = fmt
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
+
+    @staticmethod
+    def iceberg_available(spark: SparkSession) -> bool:
+        """True when the Iceberg DataSource is loadable in this JVM."""
+        try:
+            spark._jvm.java.lang.Class.forName(
+                "org.apache.iceberg.spark.source.IcebergSource")
+            return True
+        except Exception:
+            return False
 
     # -- manifest ----------------------------------------------------------
     def _manifest(self) -> dict:
@@ -101,10 +120,14 @@ class GraphCatalog:
             df = self.read(table).unionByName(df)
         obs = Observation()
         observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        writer = observed.write.mode("overwrite")
+        # Each snapshot dir is one table of self.fmt: parquet in this
+        # sandbox, an Iceberg HadoopTable when the runtime is present
+        # (the data files underneath are parquet either way, so the
+        # footer-based partition counters work for both).
+        writer = observed.write.mode("overwrite").format(self.fmt)
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self._snapshot_path(table, snap_idx))
+        writer.save(self._snapshot_path(table, snap_idx))
         wall = time.time() - t0
         n = obs.get["n"]
         partitions = self._partition_counts(
@@ -173,7 +196,8 @@ class GraphCatalog:
 
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(snap["schema"])))
-        return self.spark.read.parquet(self._snapshot_path(table, idx))
+        return self.spark.read.format(self.fmt).load(
+            self._snapshot_path(table, idx))
 
     def read(self, table: str) -> DataFrame:
         """Read the table's current snapshot (legacy flat layout falls
