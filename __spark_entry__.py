@@ -233,10 +233,15 @@ def _q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash banding + exact-Jaccard verification in portable mode
+    (md5-prefix seed-mix hashes, string band buckets): the DuckDB
+    oracle reproduces the exact signatures/buckets/candidates, so
+    equality is dataset-independent (banding misses included) rather
+    than a recall gamble."""
     docs = _t(spark, sf_dir, "documents")
-    return minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.5).select(
-        "id_a", "id_b", F.round("jaccard_sim", 6).alias("jsim")
-    )
+    return minhash_lsh_dedup_pairs(
+        docs, "doc_id", "text", threshold=0.5, portable=True
+    ).select("id_a", "id_b", F.round("jaccard_sim", 6).alias("jsim"))
 
 
 def _q_dedup_simhash(spark, sf_dir):
@@ -437,20 +442,19 @@ def _q_ann_self_join(spark, sf_dir):
 
 
 def _q_dedup_clusters(spark, sf_dir):
-    """Full dedup composition: exact near-dup pairs -> connected
+    """Full dedup composition: minhash near-dup pairs -> connected
     components -> survivor (min id) per cluster, identity for docs in
-    no pair. Oracle = recursive-CTE transitive closure over the same
-    exact pair set; the oracled variant runs method='exact' so equality
-    holds by algorithm, not by banding recall on this dataset (the
-    minhash composition is benched separately in bench.py and its pair
-    stage is oracled via dedup_minhash_lsh)."""
+    no pair — the 100 TB scale path, run in portable-hash mode so the
+    oracle (recursive-CTE closure over the SAME portable-minhash
+    verified pair set) matches by algorithm, banding misses included,
+    not by dataset recall."""
     from redisgraph_bulk_loader_spark.operators.dedup import (
         dedup_assignments,
     )
 
     docs = _t(spark, sf_dir, "documents")
     return dedup_assignments(docs, "doc_id", "text", threshold=0.5,
-                             method="exact")
+                             method="minhash", portable=True)
 
 
 def _q_events_sessionize(spark, sf_dir):
@@ -589,6 +593,103 @@ def _ann_lsh_oracle_sql() -> str:
                  ROW_NUMBER() OVER (PARTITION BY query_id
                                     ORDER BY cs DESC, neighbor_id) AS rank
           FROM scored) WHERE rank <= 5
+    """
+
+
+def _minhash_ctes(threshold: float = 0.5) -> str:
+    """Shared CTE block: DuckDB twin of
+    minhash_lsh_dedup_pairs(portable=True, n=3, num_hashes=32,
+    bands=8) — the SAME md5-prefix base hash, (a*h+b) mod 2^31-1 seed
+    mix, 8x4 string band buckets, and exact-Jaccard verification, so
+    the pair set matches the engine's by algorithm (banding misses
+    reproduce identically)."""
+    from redisgraph_bulk_loader_spark.functions.hashing import (
+        MINHASH_P,
+        minhash_params,
+    )
+
+    params = ",".join(
+        f"({j}, {a}, {b})" for j, (a, b) in enumerate(minhash_params(32))
+    )
+    return rf"""
+      params(j, a, b) AS (VALUES {params}),
+      sh AS (
+        SELECT DISTINCT doc_id AS id, unnest(ngrams) AS sh FROM (
+          SELECT doc_id,
+                 list_distinct([
+                   array_to_string(toks[i:i+2], ' ')
+                   FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)
+                 ]) AS ngrams
+          FROM (SELECT doc_id,
+                       string_split_regex(lower(trim(text)), '\s+') AS toks
+                FROM documents))
+      ),
+      based AS (
+        SELECT id, sh,
+               ('0x' || substr(md5(sh), 1, 15))::BIGINT % {MINHASH_P} AS hm
+        FROM sh
+      ),
+      mh AS (
+        SELECT id, j, MIN((a * hm + b) % {MINHASH_P}) AS v
+        FROM based, params GROUP BY id, j
+      ),
+      sigs AS (SELECT id, list(v ORDER BY j) AS sig FROM mh GROUP BY id),
+      bands(band) AS (VALUES (0),(1),(2),(3),(4),(5),(6),(7)),
+      banded AS (
+        SELECT id, band,
+               array_to_string(sig[band*4+1 : band*4+4], ',') AS bucket
+        FROM sigs CROSS JOIN bands
+      ),
+      cand AS (
+        SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+      ),
+      sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
+      inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS i
+        FROM cand c
+        JOIN sh a ON a.id = c.id_a
+        JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+        GROUP BY c.id_a, c.id_b
+      ),
+      verified AS (
+        SELECT c.id_a, c.id_b,
+               CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) AS jsim
+        FROM cand c
+        JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes sa ON sa.id = c.id_a
+        JOIN sizes sb ON sb.id = c.id_b
+        WHERE CAST(i.i AS DOUBLE) / (sa.sz + sb.sz - i.i) >= {threshold}
+      )
+    """
+
+
+def _minhash_pairs_oracle_sql(threshold: float = 0.5) -> str:
+    return f"""
+        WITH {_minhash_ctes(threshold)}
+        SELECT id_a, id_b, ROUND(jsim, 6) AS jsim FROM verified
+    """
+
+
+def _minhash_clusters_oracle_sql(threshold: float = 0.5) -> str:
+    """Recursive-CTE transitive closure over the portable-minhash
+    verified pair set — the dedup_assignments composition twin."""
+    return f"""
+        WITH RECURSIVE {_minhash_ctes(threshold)},
+        sym AS (
+          SELECT id_a AS u, id_b AS v FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ),
+        reach(a, b) AS (
+          SELECT u, v FROM sym
+          UNION
+          SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+        ),
+        rep AS (SELECT a AS id, LEAST(a, MIN(b)) AS r
+                FROM reach GROUP BY a)
+        SELECT d.doc_id, COALESCE(rep.r, d.doc_id) AS rep_id
+        FROM documents d LEFT JOIN rep ON rep.id = d.doc_id
     """
 
 
@@ -800,11 +901,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) WHERE rk = 1
         """,
         "dedup_ngram_jaccard": _EXACT_JACCARD_PAIRS_SQL,
-        # MinHash banding + exact-Jaccard verification: the planted
-        # near-dups all sit at jaccard >= 0.9, where 8-band/4-row
-        # candidate recall is ~1-1e-4 per pair — the exact pair set IS
-        # the oracle (verified equal at the driver's sf).
-        "dedup_minhash_lsh": _EXACT_JACCARD_PAIRS_SQL,
+        "dedup_minhash_lsh": _minhash_pairs_oracle_sql(0.5),
         "dedup_simhash": _simhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
         "kg_connected_components": """
@@ -859,43 +956,7 @@ def oracle_sql() -> dict[str, str]:
                    END AS n_frames
             FROM derived
         """,
-        "dedup_clusters": r"""
-            WITH RECURSIVE sh AS (
-              SELECT DISTINCT doc_id AS id, unnest(ngrams) AS sh FROM (
-                SELECT doc_id,
-                       list_distinct([
-                         array_to_string(toks[i:i+2], ' ')
-                         FOR i IN range(1, GREATEST(len(toks) - 2, 1) + 1)
-                       ]) AS ngrams
-                FROM (SELECT doc_id,
-                             string_split_regex(lower(trim(text)), '\s+') AS toks
-                      FROM documents))
-            ),
-            sizes AS (SELECT id, COUNT(*) AS sz FROM sh GROUP BY id),
-            pairs AS (
-              SELECT a.id AS id_a, b.id AS id_b
-              FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
-              GROUP BY a.id, b.id, (SELECT sz FROM sizes WHERE id = a.id),
-                       (SELECT sz FROM sizes WHERE id = b.id)
-              HAVING CAST(COUNT(*) AS DOUBLE)
-                     / ((SELECT sz FROM sizes WHERE id = a.id)
-                        + (SELECT sz FROM sizes WHERE id = b.id)
-                        - COUNT(*)) >= 0.5
-            ),
-            sym AS (
-              SELECT id_a AS u, id_b AS v FROM pairs
-              UNION SELECT id_b, id_a FROM pairs
-            ),
-            reach(a, b) AS (
-              SELECT u, v FROM sym
-              UNION
-              SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
-            ),
-            rep AS (SELECT a AS id, LEAST(a, MIN(b)) AS r
-                    FROM reach GROUP BY a)
-            SELECT d.doc_id, COALESCE(rep.r, d.doc_id) AS rep_id
-            FROM documents d LEFT JOIN rep ON rep.id = d.doc_id
-        """,
+        "dedup_clusters": _minhash_clusters_oracle_sql(0.5),
         "ann_self_join": _ann_self_join_oracle_sql(),
         "ann_brute_force": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

@@ -58,6 +58,25 @@ def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
     return F.array(*sigs)
 
 
+#: Mersenne prime 2^31-1 — the modulus of the portable MinHash seed
+#: mix. Products a*h stay under 2^62, inside BIGINT on both engines
+#: (Spark ANSI mode and DuckDB both reject int64 overflow).
+MINHASH_P = 2147483647
+
+
+def minhash_params(num_hashes: int, seed: int = 42) -> List[tuple]:
+    """Deterministic (a, b) parameters of the portable MinHash family
+    h_j(x) = (a_j * base(x) + b_j) mod P — regenerated identically by
+    the Spark implementation and the DuckDB oracle twin."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, MINHASH_P), rnd.randrange(0, MINHASH_P))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signature_df(
     df: DataFrame,
     id_cols: List[str],
@@ -65,18 +84,36 @@ def minhash_signature_df(
     num_hashes: int = 32,
     *,
     out_col: str = "_sig",
+    portable: bool = False,
 ) -> DataFrame:
     """Scalable MinHash: explode shingles -> ONE codegen'd projection of
-    num_hashes xxhash64 columns -> hash aggregate with map-side partial
-    min. The shuffle carries num_hashes longs per id (not shingles)."""
+    num_hashes hash columns -> hash aggregate with map-side partial
+    min. The shuffle carries num_hashes longs per id (not shingles).
+
+    ``portable=True`` swaps the per-seed xxhash64 for one md5-prefix
+    base hash + arithmetic seed mixing mod 2^31-1, so a DuckDB twin
+    reproduces the exact signatures (oracle mode; also one md5 per
+    shingle instead of num_hashes xxhash64 calls)."""
     exploded = df.select(
         *id_cols, F.explode(F.col(shingles_col)).alias("_shingle")
     )
-    hashed = exploded.select(
-        *id_cols,
-        *[F.xxhash64(F.col("_shingle"), F.lit(s)).alias(f"_h{s}")
-          for s in range(num_hashes)],
-    )
+    if portable:
+        params = minhash_params(num_hashes)
+        p = F.lit(MINHASH_P)
+        based = exploded.select(
+            *id_cols, F.pmod(portable_hash64(F.col("_shingle")), p).alias("_hm")
+        )
+        hashed = based.select(
+            *id_cols,
+            *[((F.lit(a) * F.col("_hm") + F.lit(b)) % p).alias(f"_h{s}")
+              for s, (a, b) in enumerate(params)],
+        )
+    else:
+        hashed = exploded.select(
+            *id_cols,
+            *[F.xxhash64(F.col("_shingle"), F.lit(s)).alias(f"_h{s}")
+              for s in range(num_hashes)],
+        )
     agg = hashed.groupBy(*id_cols).agg(
         *[F.min(f"_h{s}").alias(f"_h{s}") for s in range(num_hashes)]
     )
@@ -85,22 +122,23 @@ def minhash_signature_df(
     )
 
 
-def band_buckets(signature: Column, bands: int, rows: int) -> Column:
-    """array<struct<band:int, bucket:bigint>> — LSH banding; candidate
-    pairs share any (band, bucket)."""
+def band_buckets(
+    signature: Column, bands: int, rows: int, *, portable: bool = False
+) -> Column:
+    """array<struct<band:int, bucket>> — LSH banding; candidate pairs
+    share any (band, bucket). Default bucket is xxhash64 of the band
+    slice (8-byte join keys); ``portable=True`` keeps the joined
+    slice string itself as the bucket, reproducible in SQL engines
+    without xxhash64 (oracle mode)."""
     entries = []
     for b in range(bands):
         band_slice = F.slice(signature, b * rows + 1, rows)
+        key = F.concat_ws(
+            ",", F.transform(band_slice, lambda v: v.cast("string"))
+        )
+        bucket = key if portable else F.xxhash64(key, F.lit(b))
         entries.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",", F.transform(band_slice, lambda v: v.cast("string"))
-                    ),
-                    F.lit(b),
-                ).alias("bucket"),
-            )
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
         )
     return F.array(*entries)
 

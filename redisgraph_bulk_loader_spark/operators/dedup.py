@@ -93,9 +93,14 @@ def minhash_lsh_dedup_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     threshold: float = 0.8,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs via MinHash banding + exact-Jaccard verification.
-    Returns (id_a, id_b, jaccard_sim) with id_a < id_b."""
+    Returns (id_a, id_b, jaccard_sim) with id_a < id_b.
+
+    ``portable=True`` uses the md5-prefix seed-mix hash family and
+    string band buckets so a DuckDB oracle reproduces the exact
+    candidate set (algorithm twin — banding misses included)."""
     rows = num_hashes // bands
     base = df.select(
         F.col(id_col).alias("_id"),
@@ -105,10 +110,13 @@ def minhash_lsh_dedup_pairs(
     # deduped as bare key pairs BEFORE the shingle arrays rejoin, so the
     # pair-dedup shuffle moves 2 ids per row instead of 2 full shingle
     # sets per band collision.
-    sigs = minhash_signature_df(base, ["_id"], "_sh", num_hashes)
+    sigs = minhash_signature_df(base, ["_id"], "_sh", num_hashes,
+                                portable=portable)
     banded = sigs.select(
         "_id",
-        F.explode(band_buckets(F.col("_sig"), bands, rows)).alias("_bb"),
+        F.explode(
+            band_buckets(F.col("_sig"), bands, rows, portable=portable)
+        ).alias("_bb"),
     ).select("_id", "_bb.band", "_bb.bucket")
     pairs = (
         banded.alias("a")
@@ -188,6 +196,7 @@ def dedup_assignments(
     threshold: float = 0.5,
     max_shingle_freq: int = 10000,
     method: str = "minhash",
+    portable: bool = False,
 ) -> DataFrame:
     """Full dedup assignment: near-dup pairs -> connected components ->
     one surviving representative (min id) per cluster; docs in no pair
@@ -218,6 +227,7 @@ def dedup_assignments(
     if method == "minhash":
         pairs = minhash_lsh_dedup_pairs(
             df, id_col, text_col, n=n, threshold=threshold,
+            portable=portable,
         )
     elif method == "exact":
         pairs = ngram_jaccard_pairs(

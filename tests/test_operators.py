@@ -177,6 +177,18 @@ class TestDedup:
         assert (1, 2) in got and (1, 5) in got and (2, 5) in got
         assert (3, 4) not in got and (1, 4) not in got
 
+    def test_minhash_portable_mode_agrees(self, spark, docs):
+        """Portable (md5 seed-mix, string buckets) and default
+        (xxhash64) families both catch the clear duplicates, and the
+        verified jaccard values are hash-independent."""
+        a = {(r.id_a, r.id_b): r.jaccard_sim for r in minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.5).collect()}
+        b = {(r.id_a, r.id_b): r.jaccard_sim for r in minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.5, portable=True).collect()}
+        for pair in [(1, 2), (1, 5), (2, 5)]:
+            assert pair in a and pair in b
+            assert abs(a[pair] - b[pair]) < 1e-12
+
     def test_minhash_lsh_finds_near_dups(self, spark, docs):
         pairs = minhash_lsh_dedup_pairs(docs, "doc_id", "text", threshold=0.5)
         got = {(r.id_a, r.id_b) for r in pairs.collect()}
