@@ -4,4 +4,7 @@ from .stream import (  # noqa: F401
     stream_events_to_graph,
     windowed_event_counts,
 )
-from .stateful import sessionize_stream  # noqa: F401
+from .stateful import (  # noqa: F401
+    sessionize_stream,
+    sessionize_stream_tws,
+)

@@ -75,3 +75,68 @@ def sessionize_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def sessionize_stream_tws(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_minutes: int = 30,
+) -> DataFrame:
+    """Same cross-batch sessionization on Spark 4's successor stateful
+    API, ``transformWithStateInPandas`` (StatefulProcessor + typed
+    ValueState, SPARK-46815): per-user ValueState carries (last event
+    time, session count, event count) across micro-batches. Output and
+    state semantics are identical to ``sessionize_stream`` — the
+    applyInPandasWithState form remains for API parity; this is the
+    forward-compatible path (the old API is soft-deprecated in
+    Spark 4)."""
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    class _SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState(
+                "sess", "last_us long, n_sessions long, n_events long"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                last_us, n_sessions, n_events = self._state.get()
+            else:
+                last_us, n_sessions, n_events = None, 0, 0
+            for pdf in rows:
+                if len(pdf) == 0:
+                    continue
+                us = (pdf[ts_col].astype("int64") // 1000).sort_values()
+                prev = us.shift(1)
+                if last_us is not None:
+                    prev.iloc[0] = last_us
+                gaps_new = ((us - prev) > gap_us) | prev.isna()
+                n_sessions += int(gaps_new.sum())
+                n_events += int(len(us))
+                last_us = int(us.iloc[-1])
+            self._state.update((last_us, n_sessions, n_events))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_sessions": [n_sessions],
+                    "n_events": [n_events],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(user_col).transformWithStateInPandas(
+        statefulProcessor=_SessionProcessor(),
+        outputStructType="user_id long, n_sessions long, n_events long",
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -188,3 +188,86 @@ class TestPerPartitionLineage:
         assert rec["n_partitions"] == 4
         assert sum(p["rows"] for p in rec["partitions"]) == 1000
         assert all(p["file"].endswith(".parquet") for p in rec["partitions"])
+
+
+try:
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    _HAS_PROTOBUF = True
+except ImportError:
+    _HAS_PROTOBUF = False
+
+
+class TestTransformWithStateSessionize:
+    @pytest.mark.skipif(
+        not _HAS_PROTOBUF,
+        reason="transformWithStateInPandas needs protobuf (its state-"
+               "server protocol); not installed in this sandbox",
+    )
+    def test_tws_sessions_span_micro_batches(self, spark, tmp_path):
+        """Spark 4 successor API (transformWithStateInPandas +
+        ValueState): same cross-batch semantics as the
+        applyInPandasWithState form — two availableNow runs share a
+        checkpoint, state restores, sessions spanning the boundary are
+        counted once. Requires the RocksDB state store provider."""
+        from datetime import datetime, timedelta
+
+        from redisgraph_bulk_loader_spark.streaming.stateful import (
+            sessionize_stream_tws,
+        )
+
+        prev_provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            base = datetime(2024, 1, 1)
+
+            def ev(uid, minutes):
+                return (uid, base + timedelta(minutes=minutes))
+
+            schema = "user_id long, ts timestamp"
+            src = tmp_path / "tws_src"
+            src.mkdir()
+
+            def run_once():
+                got = {}
+
+                def sink(batch_df, _bid):
+                    for r in batch_df.collect():
+                        got[r.user_id] = (r.n_sessions, r.n_events)
+
+                stream = spark.readStream.schema(schema).parquet(
+                    str(src / "*"))
+                q = (
+                    sessionize_stream_tws(stream, gap_minutes=30)
+                    .writeStream.foreachBatch(sink)
+                    .outputMode("update")
+                    .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(120)
+                return got
+
+            spark.createDataFrame([ev(1, 0), ev(1, 10), ev(2, 0)], schema) \
+                .coalesce(1).write.parquet(str(src / "b1"))
+            first = run_once()
+            assert first[1] == (1, 2) and first[2] == (1, 1)
+
+            spark.createDataFrame([ev(1, 20), ev(1, 200), ev(2, 100)],
+                                  schema) \
+                .coalesce(1).write.parquet(str(src / "b2"))
+            second = run_once()
+            assert second[1] == (2, 4)
+            assert second[2] == (2, 2)
+        finally:
+            if prev_provider is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass",
+                    prev_provider)
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass")
