@@ -274,6 +274,22 @@ def _q_ann_lsh(spark, sf_dir):
     )
 
 
+def _q_ann_ivf(spark, sf_dir):
+    """IVF coarse-quantizer ANN: deterministic SQL-expressible training
+    (init = lowest-id vectors, one Lloyd step), per-cell candidate
+    join, exact cosine rerank. The oracle reproduces the training,
+    assignment, probing, and rerank exactly — no recall gamble."""
+    from redisgraph_bulk_loader_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, queries, k=5, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id", "rank"
+    )
+
+
 def _q_kg_salted_join(spark, sf_dir):
     """Skew-path endpoint join (salted, non-broadcast) must equal the
     plain join the oracle runs."""
@@ -500,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_dedup_simhash,
         "ann_brute_force": _q_ann_brute_force,
         "ann_lsh": _q_ann_lsh,
+        "ann_ivf": _q_ann_ivf,
         "events_sessionize": _q_events_sessionize,
         "events_windowed": _q_events_windowed,
         "kg_salted_join": _q_kg_salted_join,
@@ -748,6 +765,71 @@ def _ann_self_join_oracle_sql() -> str:
     """
 
 
+def _ann_ivf_oracle_sql(k=5, m=16, probe=4, dim=64) -> str:
+    """DuckDB twin of ivf_topk(n_centroids=16, n_probe=4): the SAME
+    deterministic training (init = m lowest-id vectors re-keyed
+    0..m-1, one Lloyd per-dimension-mean step), nearest-cell
+    assignment (squared-L2 argmin, ties to the lowest cell), n_probe
+    probing, and exact-cosine top-k rerank. Spark scores by
+    v.c - ||c||^2/2 (argmax); the SQL orders by ||c||^2 - 2 v.c
+    (argmin) — the identical ordering."""
+    return f"""
+        WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v
+                      FROM embeddings),
+        init AS (
+          SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+          FROM (SELECT vec_id, v FROM vecs ORDER BY vec_id LIMIT {m})
+        ),
+        a0 AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT x.vec_id, x.v, i.cell,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                     list_inner_product(i.c, i.c)
+                       - 2 * list_inner_product(x.v, i.c),
+                     i.cell) AS rn
+            FROM vecs x CROSS JOIN init i) WHERE rn = 1
+        ),
+        cents AS (
+          SELECT cell, list(m2 ORDER BY i) AS c FROM (
+            SELECT cell, i, AVG(v[i]) AS m2
+            FROM a0, range(1, {dim + 1}) t(i) GROUP BY cell, i)
+          GROUP BY cell
+        ),
+        a1 AS (
+          SELECT vec_id, v, cell FROM (
+            SELECT x.vec_id, x.v, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY x.vec_id ORDER BY
+                     list_inner_product(c.c, c.c)
+                       - 2 * list_inner_product(x.v, c.c),
+                     c.cell) AS rn
+            FROM vecs x CROSS JOIN cents c) WHERE rn = 1
+        ),
+        qp AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT q.vec_id AS query_id, q.v AS qv, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                     list_inner_product(c.c, c.c)
+                       - 2 * list_inner_product(q.v, c.c),
+                     c.cell) AS rn
+            FROM vecs q CROSS JOIN cents c WHERE q.vec_id < 3)
+          WHERE rn <= {probe}
+        ),
+        scored AS (
+          SELECT qp.query_id, a1.vec_id AS neighbor_id,
+                 list_inner_product(qp.qv, a1.v)
+                   / (sqrt(list_inner_product(qp.qv, qp.qv))
+                      * sqrt(list_inner_product(a1.v, a1.v))) AS cs
+          FROM qp JOIN a1 USING (cell)
+          WHERE qp.query_id <> a1.vec_id
+        )
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT query_id, neighbor_id,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                                    ORDER BY cs DESC, neighbor_id) AS rank
+          FROM scored) WHERE rank <= {k}
+    """
+
+
 def _simhash_oracle_sql() -> str:
     """DuckDB twin of simhash_dup_pairs(portable_hash=True,
     max_hamming=6): same md5-prefix 60-bit token hash, same 64 per-bit
@@ -904,6 +986,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_pairs_oracle_sql(0.5),
         "dedup_simhash": _simhash_oracle_sql(),
         "ann_lsh": _ann_lsh_oracle_sql(),
+        "ann_ivf": _ann_ivf_oracle_sql(),
         "kg_connected_components": """
             WITH RECURSIVE base AS (
               SELECT CAST(o_orderkey % 97 AS BIGINT) AS u,

@@ -161,6 +161,127 @@ def ann_self_join_pairs(
     )
 
 
+def _nearest_cell_udf(cells, cents):
+    """Arrow-vectorized nearest-centroid assignment: one numpy matmul
+    per batch; argmin of squared L2 via ||v||^2 - 2 v.c + ||c||^2 (the
+    ||v||^2 term is constant per row and dropped). Ties break to the
+    lowest cell id (numpy argmin, matching the oracle's ORDER BY
+    dist, cell)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)  # (m, dim)
+    ids = np.asarray(cells, dtype=np.int64)
+    half_norms = 0.5 * (C * C).sum(axis=1)
+
+    @pandas_udf("long")
+    def cell(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy())
+        scores = X @ C.T - half_norms  # argmax == L2 argmin
+        return pd.Series(ids[np.argmax(scores, axis=1)])
+
+    return cell
+
+
+def _probe_cells_udf(cells, cents, n_probe: int):
+    """Arrow-vectorized multi-cell probe: the n_probe nearest centroid
+    ids per query vector, nearest first (stable argsort — ties to the
+    lowest cell id, matching the oracle)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.asarray(cents, dtype=np.float64)
+    ids = np.asarray(cells, dtype=np.int64)
+    half_norms = 0.5 * (C * C).sum(axis=1)
+
+    @pandas_udf("array<long>")
+    def probes(v: pd.Series) -> pd.Series:
+        X = np.vstack(v.to_numpy())
+        scores = X @ C.T - half_norms
+        order = np.argsort(-scores, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(ids[order]))
+
+    return probes
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the corpus is
+    partitioned into ``n_centroids`` Voronoi cells; each query probes
+    only its ``n_probe`` nearest cells and exact cosine re-ranks the
+    candidates — candidate volume ~ n_probe/n_centroids of the corpus,
+    the classic coarse-quantizer ANN scale path.
+
+    Training is deliberately deterministic and SQL-expressible so the
+    DuckDB oracle reproduces it exactly: initial centroids are the
+    ``n_centroids`` lowest-id corpus vectors, refined by ONE Lloyd
+    step (assign-all + per-dimension mean). Production would iterate
+    Lloyd further over a sample — each step is the same shape (one
+    Arrow-matmul assignment + one groupBy-avg job); the cell geometry
+    changes, nothing structural does.
+
+    Scale shape: centroids are a tiny driver-side array broadcast into
+    the Arrow batch closures (m x dim doubles); the corpus never
+    shuffles except the final per-cell candidate join, and the
+    assignment is one numpy matmul per batch."""
+    from pyspark.sql import Window as W
+
+    # init: the n_centroids lowest-id vectors, re-keyed 0..m-1
+    init_rows = (
+        corpus.select(id_col, vec_col).orderBy(id_col)
+        .limit(n_centroids).collect()
+    )
+    init_cells = list(range(len(init_rows)))
+    init_cents = [list(r[vec_col]) for r in init_rows]
+
+    # one Lloyd step: assign every vector to its nearest init centroid,
+    # then per-dimension mean per cell (64 avg aggregates, one job)
+    cell0 = _nearest_cell_udf(init_cells, init_cents)
+    assigned0 = corpus.select(
+        F.col(vec_col).alias("_v")
+    ).withColumn("_cell", cell0(F.col("_v")))
+    cent_rows = (
+        assigned0.groupBy("_cell")
+        .agg(F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)]).alias("_c"))
+        .collect()
+    )
+    cent_rows.sort(key=lambda r: r["_cell"])
+    cells = [r["_cell"] for r in cent_rows]
+    cents = [list(r["_c"]) for r in cent_rows]
+
+    cell_of = _nearest_cell_udf(cells, cents)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_cell", cell_of(F.col("_cv")))
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+        ).withColumn(
+            "_cell", F.explode(_probe_cells_udf(cells, cents, n_probe)(F.col("_qv")))
+        )
+    )
+    scored = (
+        c.join(q, "_cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cos_sim", cosine(F.col("_qv"), F.col("_cv")))
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+    )
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,

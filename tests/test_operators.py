@@ -561,3 +561,47 @@ class TestCatalogFormats:
         cat = GraphCatalog(spark, str(tmp_path / "c"), fmt="iceberg")
         cat.write("t", spark.range(5))
         assert cat.read("t").count() == 5
+
+
+class TestIvfAnn:
+    def _emb(self, spark, n=120, dim=8):
+        import random
+
+        rnd = random.Random(7)
+        rows = [(i, [rnd.gauss(0, 1) for _ in range(dim)]) for i in range(n)]
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def test_full_probe_equals_brute_force(self, spark):
+        """With n_probe == n_centroids every cell is probed, so IVF
+        must return exactly the brute-force top-k."""
+        from redisgraph_bulk_loader_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        emb = self._emb(spark)
+        queries = emb.filter(F.col("vec_id") < 4)
+        a = sorted((r.query_id, r.rank, r.neighbor_id) for r in ivf_topk(
+            emb, queries, k=5, n_centroids=8, n_probe=8, dim=8).collect())
+        b = sorted((r.query_id, r.rank, r.neighbor_id) for r in
+                   brute_force_topk(emb, queries, k=5).collect())
+        assert a == b
+
+    def test_partial_probe_subset_and_shape(self, spark):
+        """Partial probing returns k ranked rows per query drawn only
+        from probed cells; ranks are 1..k and cosine-descending."""
+        from redisgraph_bulk_loader_spark.operators.similarity import ivf_topk
+
+        emb = self._emb(spark)
+        queries = emb.filter(F.col("vec_id") < 4)
+        rows = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=2,
+                        dim=8).collect()
+        per_q = {}
+        for r in rows:
+            per_q.setdefault(r.query_id, []).append(r)
+        for q, rs in per_q.items():
+            rs.sort(key=lambda r: r.rank)
+            assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+            sims = [r.cos_sim for r in rs]
+            assert sims == sorted(sims, reverse=True)
+            assert all(r.neighbor_id != q for r in rs)
