@@ -1,6 +1,7 @@
 from .stream import (  # noqa: F401
     incremental_graph_update,
     sessionize_events,
+    stream_documents_to_graph,
     stream_events_to_graph,
     windowed_event_counts,
 )

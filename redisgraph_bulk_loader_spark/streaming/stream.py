@@ -78,6 +78,56 @@ def stream_events_to_graph(
     return writer.start()
 
 
+def stream_documents_to_graph(
+    docs_stream: DataFrame,
+    dim: DataFrame,
+    catalog,
+    *,
+    checkpoint_dir: str,
+    table: str = "triples_stream",
+    trigger_once: bool = True,
+):
+    """Streaming KG ingestion: a readStream of spans-documents flows
+    through the SAME batch operators (extract_mentions ->
+    link_mentions against a prebuilt broadcast dim) inside
+    ``foreachBatch``, and each micro-batch appends one catalog
+    snapshot — an incremental commit per batch, the streaming analogue
+    of the reference's size-bounded incremental updates (partial
+    failure leaves prior batches applied; the checkpoint prevents
+    reprocessing). Canonicalization (connected components) is a
+    corpus-global operation and stays a periodic batch job over the
+    accumulated table — document-level extraction+linking is the
+    per-batch increment.
+
+    Returns the StreamingQuery."""
+    from ..extract import extract_mentions
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from ..link import link_mentions
+
+        linked = link_mentions(
+            extract_mentions(batch_df), dim=dim, broadcast_vocab=True
+        )
+        triples = (
+            linked
+            .filter(F.col("subj_cid").isNotNull()
+                    & F.col("obj_cid").isNotNull())
+            .select(
+                "doc_id",
+                F.col("subj_cid").alias("subj"),
+                "pred",
+                F.col("obj_cid").alias("obj"),
+            )
+        )
+        catalog.write(table, triples, mode="append",
+                      stage=f"stream_batch_{batch_id}")
+
+    return stream_events_to_graph(
+        docs_stream, apply, checkpoint_dir=checkpoint_dir,
+        trigger_once=trigger_once,
+    )
+
+
 def windowed_event_counts(
     events: DataFrame,
     *,

@@ -271,3 +271,62 @@ class TestTransformWithStateSessionize:
             else:
                 spark.conf.unset(
                     "spark.sql.streaming.stateStore.providerClass")
+
+
+class TestStreamingKgIngestion:
+    def test_two_run_incremental_triples(self, spark, tmp_path):
+        """Document stream -> extract -> link -> per-batch catalog
+        append across two availableNow runs with a shared checkpoint:
+        the second run processes only the new batch (no reprocessing),
+        and the accumulated triples table equals the batch pipeline's
+        extract+link output over the full corpus."""
+        from redisgraph_bulk_loader_spark.extract import extract_mentions
+        from redisgraph_bulk_loader_spark.link import (
+            build_alias_dim,
+            link_mentions,
+        )
+        from redisgraph_bulk_loader_spark.materialize import GraphCatalog
+        from redisgraph_bulk_loader_spark.sources import (
+            alias_table,
+            synthesize_documents,
+        )
+        from redisgraph_bulk_loader_spark.streaming import (
+            stream_documents_to_graph,
+        )
+
+        docs = synthesize_documents(spark, 60, seed=42).persist()
+        b1 = docs.filter(F.col("doc_id") < "doc-000000030")
+        b2 = docs.filter(F.col("doc_id") >= "doc-000000030")
+        src = tmp_path / "doc_src"
+        src.mkdir()
+        schema = docs.schema
+        cat = GraphCatalog(spark, str(tmp_path / "cat"))
+        dim = build_alias_dim(alias_table(spark))
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+            q = stream_documents_to_graph(
+                stream, dim, cat,
+                checkpoint_dir=str(tmp_path / "ckpt"),
+            )
+            q.awaitTermination(120)
+
+        b1.coalesce(1).write.parquet(str(src / "b1"))
+        run_once()
+        n1 = cat.read("triples_stream").count()
+        assert n1 > 0
+
+        b2.coalesce(1).write.parquet(str(src / "b2"))
+        run_once()
+        got = cat.read("triples_stream")
+
+        expected = (
+            link_mentions(extract_mentions(docs), dim=dim)
+            .filter(F.col("subj_cid").isNotNull()
+                    & F.col("obj_cid").isNotNull())
+            .select("doc_id", F.col("subj_cid").alias("subj"), "pred",
+                    F.col("obj_cid").alias("obj"))
+        )
+        a = sorted(tuple(r) for r in got.collect())
+        b = sorted(tuple(r) for r in expected.collect())
+        assert a == b and len(a) > n1
