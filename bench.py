@@ -109,8 +109,8 @@ def main():
     # --- representative operator queries -----------------------------------
     qs = entrymod.queries()
     for name in ["tpch_q1", "dedup_exact", "dedup_minhash_lsh",
-                 "dedup_clusters", "ann_brute_force", "ann_self_join",
-                 "events_sessionize"]:
+                 "dedup_clusters", "ann_brute_force", "ann_lsh", "ann_ivf",
+                 "ann_self_join", "events_sessionize"]:
         best, n = None, None
         for _ in range(2):
             t0 = time.time()

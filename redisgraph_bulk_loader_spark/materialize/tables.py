@@ -189,6 +189,11 @@ class GraphCatalog:
 
     def _read_snapshot(self, table: str, entry: dict, idx: int) -> DataFrame:
         snap = entry["snapshots"][idx]
+        if snap.get("expired"):
+            raise ValueError(
+                f"{table} snapshot {idx} was expired by expire_snapshots; "
+                f"its data files are gone (lineage metadata remains)"
+            )
         if snap.get("rows") == 0 and snap.get("schema"):
             # zero-row snapshot: may contain no parquet files at all;
             # serve it from the recorded schema
@@ -263,6 +268,64 @@ class GraphCatalog:
 
     def requested_indexes(self) -> List[dict]:
         return list(self._manifest().get("requested_indexes", []))
+
+    # -- maintenance (Iceberg expire_snapshots / rewrite_data_files) -------
+    def expire_snapshots(self, table: str, *, keep_last: int = 1) -> int:
+        """Delete the data files of all but the newest ``keep_last``
+        snapshots (never the current one) — the Iceberg
+        ``expire_snapshots`` maintenance action. The commit log keeps
+        the expired entries (marked ``expired``) so lineage survives;
+        ``read_at`` on an expired snapshot raises. Returns the number
+        of snapshots expired."""
+        import shutil
+
+        m = self._manifest()
+        entry = m["tables"][table]
+        snaps = entry["snapshots"]
+        keep = {s["snapshot"] for s in snaps[-keep_last:]}
+        keep.add(entry.get("current", len(snaps) - 1))
+        n = 0
+        for s in snaps:
+            idx = s["snapshot"]
+            if idx in keep or s.get("expired"):
+                continue
+            shutil.rmtree(self._snapshot_path(table, idx),
+                          ignore_errors=True)
+            s["expired"] = True
+            n += 1
+        self._save_manifest(m)
+        return n
+
+    def compact(self, table: str, *, target_files: int = None) -> None:
+        """Rewrite the current snapshot into ``target_files`` files
+        (default: the session's default parallelism) — the Iceberg
+        ``rewrite_data_files`` small-file compaction. Lands as a new
+        snapshot; time travel to the uncompacted one still works."""
+        n = target_files or self.spark.sparkContext.defaultParallelism
+        df = self.read(table)
+        entry = self._manifest()["tables"][table]
+        part_by = entry["snapshots"][entry["current"]].get("partition_by") or None
+        self.write(table, df.repartition(n), partition_by=part_by,
+                   stage=f"compact_{table}")
+
+    def materialize_index(self, table: str, label: str, prop: str) -> None:
+        """Make a recorded range index real for a loader-shaped nodes
+        table: rewrite the current snapshot with rows of ``label``
+        sorted within partitions by the JSON-extracted property, so
+        parquet row-group min/max stats give data skipping on that
+        property — the table-layout analogue of the reference's
+        ``CREATE INDEX ON :label(prop)`` (bulk_insert.py:235-263) and
+        of Iceberg's ``WRITE ORDERED BY``."""
+        df = self.read(table)
+        key = F.get_json_object(F.col("props_json"), f"$.{prop}")
+        entry = self._manifest()["tables"][table]
+        part_by = entry["snapshots"][entry["current"]].get("partition_by") or None
+        sorted_df = (
+            df.repartition(F.col("label"))
+            .sortWithinPartitions(F.when(F.col("label") == label, key))
+        )
+        self.write(table, sorted_df, partition_by=part_by,
+                   stage=f"index_{label}_{prop}")
 
     # -- fingerprints ------------------------------------------------------
     @staticmethod

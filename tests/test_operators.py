@@ -605,3 +605,60 @@ class TestIvfAnn:
             sims = [r.cos_sim for r in rs]
             assert sims == sorted(sims, reverse=True)
             assert all(r.neighbor_id != q for r in rs)
+
+
+class TestCatalogMaintenance:
+    def test_expire_snapshots(self, spark, tmp_path):
+        cat = GraphCatalog(spark, str(tmp_path / "cat"))
+        for hi in (10, 20, 30):
+            cat.write("t", spark.range(hi))
+        assert cat.read("t").count() == 30
+        n = cat.expire_snapshots("t", keep_last=1)
+        assert n == 2
+        assert cat.read("t").count() == 30  # current untouched
+        with pytest.raises(ValueError, match="expired"):
+            cat.read_at("t", 0)
+        # commit log survives for lineage
+        assert len(cat.snapshots("t")) == 3
+
+    def test_compact_rewrites_files(self, spark, tmp_path):
+        cat = GraphCatalog(spark, str(tmp_path / "cat"))
+        cat.write("t", spark.range(1000).repartition(16))
+        files_before = GraphCatalog._partition_counts(
+            cat._snapshot_path("t", 0))
+        assert len(files_before) == 16
+        cat.compact("t", target_files=2)
+        entry = cat._manifest()["tables"]["t"]
+        files_after = GraphCatalog._partition_counts(
+            cat._snapshot_path("t", entry["current"]))
+        assert len(files_after) == 2
+        assert cat.read("t").count() == 1000
+        assert cat.read_at("t", 0).count() == 1000  # time travel intact
+
+    def test_materialize_index_sorts_rowgroups(self, spark, tmp_path):
+        """After materialize_index, rows of the indexed label are
+        ordered by the property inside each file — parquet min/max
+        stats become selective (the range-index analogue)."""
+        import json as _json
+
+        cat = GraphCatalog(spark, str(tmp_path / "cat"))
+        rows = [(i, "P", f"k{i}", _json.dumps({"age": str(100 - i)}))
+                for i in range(50)]
+        nodes = spark.createDataFrame(
+            rows, "internal_id long, label string, key string, props_json string"
+        ).repartition(4)
+        cat.write("nodes", nodes, partition_by=["label"])
+        cat.record_index("P", "age")
+        cat.materialize_index("nodes", "P", "age")
+        got = [r.age for r in cat.read("nodes").select(
+            F.get_json_object("props_json", "$.age").alias("age")).collect()]
+        by_file = cat.read("nodes").select(
+            F.get_json_object("props_json", "$.age").alias("age"),
+            F.input_file_name().alias("f"),
+        ).collect()
+        per_file = {}
+        for r in by_file:
+            per_file.setdefault(r.f, []).append(r.age)
+        for ages in per_file.values():
+            assert ages == sorted(ages)
+        assert sorted(got) == sorted(r.age for r in by_file)
