@@ -120,9 +120,9 @@ def main():
         timings[name] = round(best, 3)
         extras[f"{name}_rows"] = n
 
-    # The oracled dedup_clusters query runs method='exact' (algorithm-
-    # exact oracle); the 100 TB scale path is the minhash composition —
-    # keep it measured here.
+    # The oracled dedup_clusters query runs the portable-hash minhash
+    # family (DuckDB-twin mode); this entry measures the DEFAULT
+    # xxhash64 family — the non-oracle production configuration.
     from redisgraph_bulk_loader_spark.operators.dedup import dedup_assignments
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
