@@ -169,6 +169,49 @@ def sample_frames(media: DataFrame, *, every_ms: int = 1000) -> DataFrame:
     return media.mapInPandas(run, schema=FRAME_SCHEMA)
 
 
+def media_near_dup_pairs(
+    media: DataFrame,
+    *,
+    every_ms: int = 1000,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate media by frame-hash Jaccard: sample frames
+    (1->N), fingerprint each frame JVM-side (sha2 over the frame
+    bytes — only the 64-hex digest ever shuffles, payloads stay in
+    their task), then the inverted-index join on digest gives
+    |A ∩ B| and per-media frame-set sizes give the Jaccard — the same
+    never-cross-join shape as ngram_jaccard_pairs, over frames instead
+    of shingles. Returns (ref_a, ref_b, jaccard_sim), ref_a < ref_b.
+
+    A real decoder would emit perceptual frame hashes (pHash) instead
+    of byte digests; the join/aggregation shape is identical."""
+    frames = sample_frames(media, every_ms=every_ms)
+    fp = frames.select(
+        F.col("media_ref").alias("_ref"),
+        F.sha2(F.col("frame_payload"), 256).alias("_fh"),
+    ).distinct()
+    sizes = fp.groupBy("_ref").agg(F.count("*").alias("_sz"))
+    inter = (
+        fp.alias("a")
+        .join(fp.alias("b"), "_fh")
+        .filter(F.col("a._ref") < F.col("b._ref"))
+        .groupBy(F.col("a._ref").alias("ref_a"), F.col("b._ref").alias("ref_b"))
+        .agg(F.count("*").alias("_i"))
+    )
+    return (
+        inter.join(sizes.select(F.col("_ref").alias("ref_a"),
+                                F.col("_sz").alias("_sa")), "ref_a")
+        .join(sizes.select(F.col("_ref").alias("ref_b"),
+                           F.col("_sz").alias("_sb")), "ref_b")
+        .withColumn(
+            "jaccard_sim",
+            F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+        .select("ref_a", "ref_b", "jaccard_sim")
+    )
+
+
 def media_dedup_exact(media: DataFrame) -> DataFrame:
     """Exact media dedup by payload hash — JVM-side sha2 over binary,
     one survivor per digest (smallest media_ref)."""

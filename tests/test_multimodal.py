@@ -67,3 +67,65 @@ class TestMultimodal:
         kept = media_dedup_exact(both)
         assert kept.count() == 20  # one survivor per distinct payload
         assert kept.filter(F.col("media_ref").startswith("z-copy-")).count() == 0
+
+
+class TestMediaNearDup:
+    def test_frame_jaccard_pairs(self, spark):
+        """Hand-built payloads with known frame overlap: sample_frames
+        slices 8-byte windows at (i*7) % (len-8); identical payloads
+        share every frame (jaccard 1); a payload sharing a prefix but
+        differing later has partial overlap; disjoint bytes never
+        pair."""
+        from redisgraph_bulk_loader_spark.operators.multimodal import (
+            media_near_dup_pairs,
+            sample_frames,
+        )
+
+        base = bytes(range(200))
+        variant = bytes(range(100)) + bytes(range(150, 250))
+        other = bytes(reversed(range(200)))
+        rows = [
+            ("m1", "audio/fake", None, None, 5000, base),
+            ("m2", "audio/fake", None, None, 5000, base),
+            ("m3", "audio/fake", None, None, 5000, variant),
+            ("m4", "audio/fake", None, None, 5000, other),
+        ]
+        media = spark.createDataFrame(
+            rows,
+            "media_ref string, mime string, width int, height int, "
+            "duration_ms int, payload binary",
+        )
+        pairs = {
+            (r.ref_a, r.ref_b): r.jaccard_sim
+            for r in media_near_dup_pairs(media, threshold=0.2).collect()
+        }
+        assert pairs[("m1", "m2")] == 1.0
+        assert ("m1", "m4") not in pairs and ("m2", "m4") not in pairs
+        # python twin for the partial-overlap value
+        def frame_set(b):
+            out = set()
+            for i in range(min(5000 // 1000, 32)):
+                lo = (i * 7) % max(len(b) - 8, 1)
+                out.add(b[lo:lo + 8])
+            return out
+
+        fa, fc = frame_set(base), frame_set(variant)
+        expected = len(fa & fc) / len(fa | fc)
+        if expected >= 0.2:
+            assert abs(pairs[("m1", "m3")] - expected) < 1e-9
+        else:
+            assert ("m1", "m3") not in pairs
+
+    def test_payloads_not_in_shuffle(self, spark):
+        """The pair plan must shuffle digests, never frame payloads."""
+        from redisgraph_bulk_loader_spark.operators.multimodal import (
+            media_near_dup_pairs,
+            synthesize_media,
+        )
+
+        refs = spark.createDataFrame(
+            [(f"img://x/{i}",) for i in range(10)], "media_ref string")
+        plan = media_near_dup_pairs(synthesize_media(spark, refs)) \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan
+        assert "frame_payload" not in plan.split("Exchange")[-1]
