@@ -145,7 +145,15 @@ def connected_components(
         assignments = _driver_union_find(
             (r["u"], r["v"]) for r in e.collect()
         )
-        return spark.createDataFrame(assignments, "node long, component long")
+        # Arrow path (pandas), not a pickled list: a pickled-list
+        # createDataFrame needs python workers on EVERY downstream
+        # materialization (measured fork storms mid-pipeline); Arrow
+        # batches decode JVM-side.
+        import pandas as pd
+
+        pdf = pd.DataFrame(assignments, columns=["node", "component"]).astype(
+            "int64")
+        return spark.createDataFrame(pdf, schema="node long, component long")
     prev = None
     for _ in range(max_iter):
         # lazy checkpoint: the fingerprint action below both materializes

@@ -66,10 +66,18 @@ def assign_dense_ids(
         acc += counts[pid]
     # Tiny broadcast dim (one row per partition) instead of a when-chain:
     # stays O(1) in plan size even at tens of thousands of partitions.
+    # Built from pandas (Arrow, JVM-side decode) — a pickled-list
+    # createDataFrame re-forks python workers on every materialization.
+    import pandas as pd
+
     spark = df.sparkSession
+    items = sorted(offsets.items()) or [(0, start)]
+    offsets_pdf = pd.DataFrame(
+        {"_pid": [int(p) for p, _ in items],
+         "_offset": [int(o) for _, o in items]}
+    ).astype({"_pid": "int32", "_offset": "int64"})
     offsets_df = spark.createDataFrame(
-        [(int(pid), int(off)) for pid, off in sorted(offsets.items())] or [(0, start)],
-        schema="_pid int, _offset long",
+        offsets_pdf, schema="_pid int, _offset long"
     )
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
