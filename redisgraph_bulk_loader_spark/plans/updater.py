@@ -256,16 +256,23 @@ def upsert_nodes(
         .drop("_rk")
         .withColumn("_new_props", _props_map(prop_cols))
     )
-    joined = upd.join(
+    # Match against the last-wins registry view: the loader keeps every
+    # row under duplicate identifiers (skip_invalid_nodes), but the
+    # mapping points at the latest occurrence (label.py:60-61) — the
+    # MERGE must update that row once, not fan out per duplicate.
+    w_reg = Window.partitionBy(key_col).orderBy(F.col("_eid").desc())
+    reg_view = (
         existing_nodes.select(
             F.col(key_col),
             F.col("internal_id").alias("_eid"),
             F.col("label").alias("_elabel"),
             F.col("props_json").alias("_eprops"),
-        ),
-        key_col,
-        "left",
+        )
+        .withColumn("_rr", F.row_number().over(w_reg))
+        .filter(F.col("_rr") == 1)
+        .drop("_rr")
     )
+    joined = upd.join(reg_view, key_col, "left")
     old_map = F.from_json(F.coalesce(F.col("_eprops"), F.lit("{}")),
                           "map<string,string>")
     provided = F.array(*[F.lit(c) for c in prop_cols]) if prop_cols else F.array()
@@ -292,9 +299,13 @@ def upsert_nodes(
         .withColumn("label", F.coalesce(F.col("_elabel"), F.lit(label)))
         .select(*existing_nodes.columns)
     )
-    kept = existing_nodes.join(
-        upd.select(key_col), [key_col], "left_anti"
+    # Remove only the specific matched rows (latest per key): other
+    # duplicate rows under a reused identifier stay untouched, exactly
+    # like the reference graph where each CSV row remains its own node.
+    matched_ids = joined.filter(F.col("_eid").isNotNull()).select(
+        F.col("_eid").alias("internal_id")
     )
+    kept = existing_nodes.join(matched_ids, ["internal_id"], "left_anti")
     return kept.unionByName(merged_rows)
 
 

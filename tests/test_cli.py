@@ -345,3 +345,31 @@ class TestInsertUpdateRoundTrip:
         props = {k: _json.loads(p) for k, p in rows}
         assert props["Roi Lipman"]["status"] == '"divorced"'
         assert props["New Person"]["status"] == '"single"'
+
+
+class TestUpsertDuplicateIdentifiers:
+    def test_upsert_updates_latest_row_only(self, spark):
+        """Loader tables may hold duplicate keys (skip_invalid_nodes):
+        the MERGE must update the LATEST row per key (registry
+        last-wins semantics) without fanning out or collapsing the
+        other duplicate rows."""
+        import json
+
+        from redisgraph_bulk_loader_spark.plans.updater import upsert_nodes
+
+        existing = spark.createDataFrame(
+            [(0, "L", "0", '{"v": "\\"a\\""}'),
+             (1, "L", "5", '{"v": "\\"b\\""}'),
+             (2, "L", "0", '{"v": "\\"c\\""}')],  # duplicate key '0'
+            "internal_id long, label string, key string, props_json string",
+        )
+        upd = spark.createDataFrame(
+            [("0", "NEW", 0)], "key string, v string, row_idx long"
+        )
+        out = sorted(upsert_nodes(existing, upd).collect(),
+                     key=lambda r: r.internal_id)
+        assert len(out) == 3  # no fan-out, no collapse
+        by_id = {r.internal_id: json.loads(r.props_json) for r in out}
+        assert by_id[0] == {"v": '"a"'}      # older duplicate untouched
+        assert by_id[2] == {"v": '"NEW"'}    # latest row updated
+        assert by_id[1] == {"v": '"b"'}
