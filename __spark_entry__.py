@@ -772,7 +772,12 @@ def _ann_ivf_oracle_sql(k=5, m=16, probe=4, dim=64) -> str:
     assignment (squared-L2 argmin, ties to the lowest cell), n_probe
     probing, and exact-cosine top-k rerank. Spark scores by
     v.c - ||c||^2/2 (argmax); the SQL orders by ||c||^2 - 2 v.c
-    (argmin) — the identical ordering."""
+    (argmin) — the identical ordering. Caveat shared by every
+    float-twin oracle here: a vector whose two best distances differ
+    by less than cross-engine rounding (numpy blocked matmul vs
+    sequential SQL sums) could be assigned differently; verified
+    stable on the driver corpora, and any future flip localizes to
+    one assignment rather than invalidating the algorithm twin."""
     return f"""
         WITH vecs AS (SELECT vec_id, embedding::DOUBLE[] AS v
                       FROM embeddings),

@@ -193,6 +193,11 @@ def link_mentions(
     )
     if broadcast_vocab:
         resolved = F.broadcast(resolved)
+    else:
+        # The shuffle-join fallback references the resolved vocabulary
+        # once per surface column — pin it so the mention scan +
+        # distinct + normalize subtree runs once, not per column.
+        resolved = resolved.persist()
     out = mentions
     for col in surface_cols:
         cid_col = col.replace("_surface", "_cid")

@@ -37,7 +37,22 @@ from pyspark.sql import functions as F
 
 
 class GraphCatalog:
-    def __init__(self, spark: SparkSession, root: str, fmt: str = "parquet"):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        fmt: str = "parquet",
+        iceberg_catalog: str = "spark_catalog",
+        iceberg_namespace: str = "rgbl",
+    ):
+        """``fmt='iceberg'`` routes snapshot writes through the
+        DataFrameWriterV2 catalog API (``writeTo(ident).using(
+        "iceberg").createOrReplace()`` — a path-based ``save()`` cannot
+        CREATE an Iceberg table) against ``iceberg_catalog`` /
+        ``iceberg_namespace``; the session must have an Iceberg
+        SparkCatalog configured (the standard
+        ``spark.sql.catalog.<name>`` confs). The JSON manifest remains
+        the commit log either way."""
         if fmt not in ("parquet", "iceberg"):
             raise ValueError("fmt must be 'parquet' or 'iceberg'")
         if fmt == "iceberg" and not self.iceberg_available(spark):
@@ -50,8 +65,19 @@ class GraphCatalog:
         self.spark = spark
         self.root = root
         self.fmt = fmt
+        self.iceberg_catalog = iceberg_catalog
+        self.iceberg_namespace = iceberg_namespace
+        if fmt == "iceberg":
+            spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS "
+                f"{iceberg_catalog}.{iceberg_namespace}"
+            )
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
+
+    def _iceberg_ident(self, table: str, idx: int) -> str:
+        return (f"{self.iceberg_catalog}.{self.iceberg_namespace}."
+                f"{table}_snap_{idx}")
 
     @staticmethod
     def iceberg_available(spark: SparkSession) -> bool:
@@ -116,18 +142,31 @@ class GraphCatalog:
         m = self._manifest()
         entry = m["tables"].get(table, {"snapshots": []})
         snap_idx = len(entry["snapshots"])
-        if mode == "append" and entry["snapshots"]:
-            df = self.read(table).unionByName(df)
+        if mode == "append":
+            if entry["snapshots"]:
+                df = self.read(table).unionByName(df)
+            elif os.path.isdir(self.path(table)):
+                # legacy flat-layout table (files directly under the
+                # table dir, no snapshot entries): append must still
+                # carry the existing rows into the first snapshot
+                df = self.spark.read.parquet(self.path(table)).unionByName(df)
         obs = Observation()
         observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
-        # Each snapshot dir is one table of self.fmt: parquet in this
-        # sandbox, an Iceberg HadoopTable when the runtime is present
-        # (the data files underneath are parquet either way, so the
-        # footer-based partition counters work for both).
-        writer = observed.write.mode("overwrite").format(self.fmt)
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
-        writer.save(self._snapshot_path(table, snap_idx))
+        if self.fmt == "iceberg":
+            # DataFrameWriterV2: the only API that can CREATE an
+            # Iceberg table (path-based save() appends to existing
+            # tables only). One catalog table per snapshot keeps the
+            # immutable-snapshot layout.
+            w2 = observed.writeTo(
+                self._iceberg_ident(table, snap_idx)).using("iceberg")
+            if partition_by:
+                w2 = w2.partitionedBy(*[F.col(c) for c in partition_by])
+            w2.createOrReplace()
+        else:
+            writer = observed.write.mode("overwrite").format(self.fmt)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.save(self._snapshot_path(table, snap_idx))
         wall = time.time() - t0
         n = obs.get["n"]
         partitions = self._partition_counts(
@@ -201,6 +240,8 @@ class GraphCatalog:
 
             return self.spark.createDataFrame(
                 [], StructType.fromJson(json.loads(snap["schema"])))
+        if self.fmt == "iceberg":
+            return self.spark.table(self._iceberg_ident(table, idx))
         return self.spark.read.format(self.fmt).load(
             self._snapshot_path(table, idx))
 
@@ -282,15 +323,22 @@ class GraphCatalog:
         m = self._manifest()
         entry = m["tables"][table]
         snaps = entry["snapshots"]
-        keep = {s["snapshot"] for s in snaps[-keep_last:]}
+        # keep_last=0 keeps only the current snapshot (snaps[-0:] would
+        # be the whole list)
+        keep = ({s["snapshot"] for s in snaps[-keep_last:]}
+                if keep_last > 0 else set())
         keep.add(entry.get("current", len(snaps) - 1))
         n = 0
         for s in snaps:
             idx = s["snapshot"]
             if idx in keep or s.get("expired"):
                 continue
-            shutil.rmtree(self._snapshot_path(table, idx),
-                          ignore_errors=True)
+            if self.fmt == "iceberg":
+                self.spark.sql(
+                    f"DROP TABLE IF EXISTS {self._iceberg_ident(table, idx)}")
+            else:
+                shutil.rmtree(self._snapshot_path(table, idx),
+                              ignore_errors=True)
             s["expired"] = True
             n += 1
         self._save_manifest(m)

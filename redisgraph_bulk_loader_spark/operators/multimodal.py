@@ -186,10 +186,13 @@ def media_near_dup_pairs(
     A real decoder would emit perceptual frame hashes (pHash) instead
     of byte digests; the join/aggregation shape is identical."""
     frames = sample_frames(media, every_ms=every_ms)
+    # Four consumers reference the fingerprint frame (both sizes joins
+    # + both self-join sides): pin it, or the decode+hash+distinct
+    # subtree re-executes per reference.
     fp = frames.select(
         F.col("media_ref").alias("_ref"),
         F.sha2(F.col("frame_payload"), 256).alias("_fh"),
-    ).distinct()
+    ).distinct().persist()
     sizes = fp.groupBy("_ref").agg(F.count("*").alias("_sz"))
     inter = (
         fp.alias("a")

@@ -239,8 +239,12 @@ def upsert_nodes(
     - last occurrence wins within the update set (row order,
       bulk_update.py:106-119).
 
-    Property columns are rendered as canonical literals via quote_col,
-    so upserted props_json is byte-compatible with loader output.
+    Property columns are rendered as canonical literals via quote_col
+    (value-compatible with loader output). Note the JSON *layout* of a
+    touched row is normalized by to_json (compact separators, updated
+    keys appended last) — semantically equal but not byte-identical to
+    the loader's json.dumps, so byte-level fingerprints of touched
+    rows change even on a value-level no-op update.
     Update CSVs are dim-scale in the reference (<= the 100k-row
     largest tested load); the global row_number and driver-side
     max(internal_id) lookup are bounded by that, not by fact tables.
@@ -431,8 +435,19 @@ def merge_edges(
             nodes, dest_proj, key_col=key_col, label=dest_label,
             order_col=order_col,
         )
-    # 3. resolve endpoints through the updated registry and append
-    registry = nodes.select(F.col(key_col).alias("ext_id"), "internal_id")
+    # 3. resolve endpoints through the updated registry and append.
+    # Last-wins per key: under a reused identifier the reference's id
+    # dict points at the latest occurrence — without the dedup a
+    # duplicate key would fan each edge row into multiple edges.
+    from pyspark.sql import Window
+
+    w_reg = Window.partitionBy("ext_id").orderBy(F.col("internal_id").desc())
+    registry = (
+        nodes.select(F.col(key_col).alias("ext_id"), "internal_id")
+        .withColumn("_rr", F.row_number().over(w_reg))
+        .filter(F.col("_rr") == 1)
+        .drop("_rr")
+    )
     resolved = resolve_endpoints(
         matched.select(F.col(src_col).alias("src_key"),
                        F.col(dst_col).alias("dst_key")),

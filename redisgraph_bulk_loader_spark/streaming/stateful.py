@@ -46,15 +46,18 @@ def sessionize_stream(
             last_us, n_sessions, n_events = state.get
         else:
             last_us, n_sessions, n_events = None, 0, 0
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            us = (pdf[ts_col].astype("int64") // 1000).sort_values()
+        # The group's micro-batch arrives as multiple Arrow chunks in
+        # file order, not time order: sorting per chunk would misorder
+        # events across chunk boundaries. Buffer the whole batch (one
+        # user's events, bounded per micro-batch) and sort once.
+        chunks = [pdf[ts_col] for pdf in pdfs if len(pdf)]
+        if chunks:
+            us = (pd.concat(chunks).astype("int64") // 1000).sort_values()
             prev = us.shift(1)
             if last_us is not None:
                 prev.iloc[0] = last_us
             # NaN (no previous event ever) compares False -> counted
-            # via fillna: a first-ever event always opens a session
+            # via isna: a first-ever event always opens a session
             gaps_new = ((us - prev) > gap_us) | prev.isna()
             n_sessions += int(gaps_new.sum())
             n_events += int(len(us))
@@ -111,10 +114,12 @@ def sessionize_stream_tws(
                 last_us, n_sessions, n_events = self._state.get()
             else:
                 last_us, n_sessions, n_events = None, 0, 0
-            for pdf in rows:
-                if len(pdf) == 0:
-                    continue
-                us = (pdf[ts_col].astype("int64") // 1000).sort_values()
+            # buffer the whole micro-batch before sorting (see fn in
+            # sessionize_stream — per-chunk sorting misorders events
+            # across Arrow chunk boundaries)
+            chunks = [pdf[ts_col] for pdf in rows if len(pdf)]
+            if chunks:
+                us = (pd.concat(chunks).astype("int64") // 1000).sort_values()
                 prev = us.shift(1)
                 if last_us is not None:
                     prev.iloc[0] = last_us

@@ -662,3 +662,47 @@ class TestCatalogMaintenance:
         for ages in per_file.values():
             assert ages == sorted(ages)
         assert sorted(got) == sorted(r.age for r in by_file)
+
+
+class TestReviewRegressions:
+    """Round-3 self-review findings pinned as tests."""
+
+    def test_expire_keep_last_zero(self, spark, tmp_path):
+        cat = GraphCatalog(spark, str(tmp_path / "cat"))
+        for hi in (5, 10, 15):
+            cat.write("t", spark.range(hi))
+        assert cat.expire_snapshots("t", keep_last=0) == 2
+        assert cat.read("t").count() == 15
+
+    def test_append_over_legacy_flat_layout(self, spark, tmp_path):
+        """A pre-snapshot flat table (files directly in the table dir,
+        no manifest snapshots) must survive an append."""
+        import json as _json
+
+        root = tmp_path / "cat"
+        cat = GraphCatalog(spark, str(root))
+        spark.range(100).write.parquet(str(root / "t"))
+        m = cat._manifest()
+        m["tables"]["t"] = {"snapshots": []}
+        cat._save_manifest(m)
+        assert cat.read("t").count() == 100  # flat fallback read
+        cat.write("t", spark.range(100, 110), mode="append")
+        assert cat.read("t").count() == 110
+
+    def test_edge_merge_duplicate_key_no_fanout(self, spark):
+        """Registry used by edge creation is last-wins per key: a
+        duplicate node identifier must not fan one edge row into two
+        edges (review finding, verified pre-fix)."""
+        from redisgraph_bulk_loader_spark.plans.updater import merge_edges
+
+        nodes = spark.createDataFrame(
+            [(0, "L", "0", "{}"), (1, "L", "5", "{}"), (2, "L", "0", "{}")],
+            "internal_id long, label string, key string, props_json string",
+        )
+        proj = spark.createDataFrame(
+            [("0", "5", 0)], "src_key string, dst_key string, row_idx long"
+        )
+        _, edges = merge_edges(nodes, None, proj, rel_type="R",
+                               create_dest=False)
+        got = [(r.src_internal, r.dst_internal) for r in edges.collect()]
+        assert got == [(2, 1)]  # latest '0' row, exactly one edge

@@ -330,3 +330,50 @@ class TestStreamingKgIngestion:
         a = sorted(tuple(r) for r in got.collect())
         b = sorted(tuple(r) for r in expected.collect())
         assert a == b and len(a) > n1
+
+
+class TestChunkOrderSessionize:
+    def test_multi_chunk_batch_sorted_globally(self, spark, tmp_path):
+        """Review finding: the group's micro-batch arrives as multiple
+        Arrow chunks in FILE order; per-chunk sorting miscounts when a
+        later chunk holds earlier timestamps. Force 2-row chunks and
+        write one user's events out of time order."""
+        from datetime import datetime, timedelta
+
+        from redisgraph_bulk_loader_spark.streaming.stateful import (
+            sessionize_stream,
+        )
+
+        prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+        try:
+            base = datetime(2024, 1, 1)
+            # file order: 100min, 101min, 0min, 1min, 102min, 2min
+            # time-sorted: sessions = {0,1,2} and {100,101,102} -> 2
+            minutes = [100, 101, 0, 1, 102, 2]
+            rows = [(1, base + timedelta(minutes=m)) for m in minutes]
+            schema = "user_id long, ts timestamp"
+            src = tmp_path / "chunk_src"
+            src.mkdir()
+            spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+                str(src / "b1"))
+            got = {}
+
+            def sink(batch_df, _bid):
+                for r in batch_df.collect():
+                    got[r.user_id] = (r.n_sessions, r.n_events)
+
+            stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+            q = (
+                sessionize_stream(stream, gap_minutes=30)
+                .writeStream.foreachBatch(sink)
+                .outputMode("update")
+                .option("checkpointLocation", str(tmp_path / "chunk_ckpt"))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+            assert got[1] == (2, 6)
+        finally:
+            spark.conf.set(
+                "spark.sql.execution.arrow.maxRecordsPerBatch", prev)
