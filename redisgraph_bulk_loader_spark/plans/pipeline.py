@@ -78,16 +78,50 @@ def _lsh_extra_mappings(
     return extra.localCheckpoint(eager=True)
 
 
-def canonicalize(aliases: DataFrame) -> DataFrame:
+def canonicalize(
+    aliases: DataFrame,
+    *,
+    driver_threshold: int = 100_000,
+) -> DataFrame:
     """Connected components over the surface<->canonical bipartite
     sameAs graph; returns (canonical_id -> canon_id) remap where
     canon_id is the smallest canonical id in the component.
 
-    CC node ids are collision-free injective longs over the
-    tagged-string vocabulary (bare xxhash64 has a ~50% birthday
-    collision at ~5e9 distinct ids; one collision would weld two
-    entities) — see canon.components.injective_node_ids."""
-    from ..canon.components import injective_node_ids
+    Size-gated like connected_components itself: at or below
+    ``driver_threshold`` alias rows the whole canonicalization runs as
+    a driver union-find over the tagged strings (one collect + one
+    Arrow frame instead of ~6 shuffle/checkpoint jobs — alias
+    dictionaries are dim-scale in the common case and the fixed job
+    cost dominated the measured stage). Above the gate, the
+    distributed path: CC node ids are collision-free injective longs
+    over the tagged-string vocabulary (bare xxhash64 has a ~50%
+    birthday collision at ~5e9 distinct ids; one collision would weld
+    two entities) — see canon.components.injective_node_ids."""
+    from ..canon.components import _driver_union_find, injective_node_ids
+
+    n_aliases = aliases.count()
+    if n_aliases <= driver_threshold:
+        import pandas as pd
+
+        rows = aliases.select("surface", "canonical_id").collect()
+        pairs = [("s:" + r["surface"], "c:" + r["canonical_id"])
+                 for r in rows]
+        comp_of = dict(_driver_union_find(pairs))
+        canon_ids = sorted({r["canonical_id"] for r in rows})
+        comp_min: dict = {}
+        for cid in canon_ids:
+            root = comp_of.get("c:" + cid, "c:" + cid)
+            prev = comp_min.get(root)
+            if prev is None or cid < prev:
+                comp_min[root] = cid
+        remap = [(cid, comp_min[comp_of.get("c:" + cid, "c:" + cid)])
+                 for cid in canon_ids]
+        pdf = pd.DataFrame(remap or [("", "")],
+                           columns=["canonical_id", "canon_id"])
+        if not remap:
+            pdf = pdf.iloc[0:0]
+        return aliases.sparkSession.createDataFrame(
+            pdf, schema="canonical_id string, canon_id string")
 
     tagged = aliases.select(
         F.concat(F.lit("s:"), "surface").alias("_a"),

@@ -517,9 +517,27 @@ class TestDedupAssignments:
             [("Ada", "e1"), ("Ada", "e2"), ("Bob", "e3")],
             "surface string, canonical_id string",
         )
+        # driver_threshold=0 forces the distributed path — the gate's
+        # driver union-find never touches hashing to begin with
         remap = {r.canonical_id: r.canon_id
-                 for r in canonicalize(aliases).collect()}
+                 for r in canonicalize(aliases, driver_threshold=0).collect()}
         assert remap == {"e1": "e1", "e2": "e1", "e3": "e3"}
+
+    def test_canonicalize_gate_strategies_agree(self, spark):
+        """Driver-gated and distributed canonicalization must produce
+        the same remap (same criterion as the CC gate test)."""
+        from redisgraph_bulk_loader_spark.plans.pipeline import canonicalize
+
+        aliases = spark.createDataFrame(
+            [("a", "e1"), ("a", "e2"), ("b", "e2"), ("b", "e5"),
+             ("c", "e3"), ("d", "e4"), ("d", "e3"), ("e", "e9")],
+            "surface string, canonical_id string",
+        )
+        drv = sorted(tuple(r) for r in canonicalize(aliases).collect())
+        dist = sorted(tuple(r) for r in canonicalize(
+            aliases, driver_threshold=0).collect())
+        assert drv == dist
+        assert dict(drv)["e5"] == "e1" and dict(drv)["e4"] == "e3"
 
     def test_link_vocab_gate_strategies_agree(self, spark):
         """link_mentions' resolved-vocabulary broadcast is size-gated;
