@@ -56,16 +56,23 @@ def build_alias_dim(
     instead of rebuilding it — the measured per-run fixed cost.
 
     ``collect_dim=None`` (auto) gates on size: the driver loop below
-    ``COLLECT_DIM_THRESHOLD`` rows, the distributed dropDuplicates path
+    ``COLLECT_DIM_THRESHOLD`` rows, the distributed min-aggregate path
     above (a "low millions" alias dict must not run a single-threaded
-    driver loop)."""
+    driver loop).
+
+    Ambiguous surfaces (two aliases normalizing identically but mapping
+    to different canonicals) resolve deterministically to the MINIMUM
+    canonical_id on BOTH gate paths — linking output must not depend on
+    which side of the gate the dictionary falls, and a nondeterministic
+    pick (dropDuplicates keeps an arbitrary row) would also destabilize
+    the resume fingerprint across reruns."""
     spark = aliases.sparkSession
     if collect_dim is None:
         n = alias_rows if alias_rows is not None else aliases.count()
         collect_dim = n <= COLLECT_DIM_THRESHOLD
     if collect_dim:
         # Collecting a small dim to pre-normalize costs the same memory
-        # class as broadcasting it, and removes a dropDuplicates shuffle
+        # class as broadcasting it, and removes an aggregation shuffle
         # plus one broadcast-exchange build from the critical path.
         # The re-upload goes through pandas/Arrow: a pickled-list
         # createDataFrame needs python workers on EVERY materialization
@@ -75,7 +82,10 @@ def build_alias_dim(
 
         seen = {}
         for row in aliases.select("surface", "canonical_id").collect():
-            seen.setdefault(_normalize_py(row["surface"]), row["canonical_id"])
+            key = _normalize_py(row["surface"])
+            cid = row["canonical_id"]
+            if key not in seen or cid < seen[key]:
+                seen[key] = cid
         pdf = pd.DataFrame(
             list(seen.items()) or [(None, None)],
             columns=["_norm", "canonical_id"],
@@ -87,7 +97,9 @@ def build_alias_dim(
         aliases.select(
             normalize_surface(F.col("surface")).alias("_norm"),
             F.col("canonical_id"),
-        ).dropDuplicates(["_norm"])
+        )
+        .groupBy("_norm")
+        .agg(F.min("canonical_id").alias("canonical_id"))
     )
 
 
@@ -106,7 +118,9 @@ def patch_unresolved(
         extra.select(
             normalize_surface(F.col("surface")).alias("_norm"),
             F.col("canonical_id"),
-        ).dropDuplicates(["_norm"])
+        )
+        .groupBy("_norm")
+        .agg(F.min("canonical_id").alias("canonical_id"))
     )
     out = linked
     for col in surface_cols:
@@ -127,12 +141,26 @@ def augment_alias_dim(dim: DataFrame, extra: DataFrame) -> DataFrame:
     """dim (_norm, canonical_id) + extra raw (surface, canonical_id) ->
     augmented broadcast dim. Existing dim entries win on normalized-key
     collisions (they were the resolved mappings; extras are LSH
-    leftovers whose normalized forms missed the dim by construction)."""
+    leftovers whose normalized forms missed the dim by construction);
+    collisions among the extras themselves resolve deterministically to
+    the minimum canonical_id (min over (priority, canonical_id) structs
+    — a nondeterministic pick would destabilize reruns)."""
     extra_norm = extra.select(
         normalize_surface(F.col("surface")).alias("_norm"),
         F.col("canonical_id"),
     )
-    combined = dim.unionByName(extra_norm).dropDuplicates(["_norm"])
+    combined = (
+        dim.select("_norm", F.struct(F.lit(0).alias("_prio"),
+                                     F.col("canonical_id")).alias("_s"))
+        .unionByName(
+            extra_norm.select("_norm",
+                              F.struct(F.lit(1).alias("_prio"),
+                                       F.col("canonical_id")).alias("_s"))
+        )
+        .groupBy("_norm")
+        .agg(F.min("_s").alias("_s"))
+        .select("_norm", F.col("_s.canonical_id").alias("canonical_id"))
+    )
     return F.broadcast(combined)
 
 

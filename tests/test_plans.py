@@ -135,6 +135,30 @@ class TestPlanShapes:
         assert got[("d1", 1)] == ("e3", "e1")
         assert got[("d2", 0)] == ("e9", "img://x")
 
+    def test_alias_dim_gate_paths_agree_on_ambiguous_surface(self, spark):
+        """VERDICT r3 #2: two aliases normalizing to the same surface
+        but mapping to DIFFERENT canonicals must resolve identically
+        (min canonical_id) on both gate paths — linking output must not
+        depend on which side of the 100k gate the dict falls, nor vary
+        across reruns (resume-fingerprint stability)."""
+        from redisgraph_bulk_loader_spark.link import build_alias_dim
+
+        aliases = spark.createDataFrame(
+            [
+                ("A. Lovelace", "e9"),   # normalizes to 'a lovelace'
+                ("a lovelace", "e1"),    # same normalized form, other cid
+                ("A.  LOVELACE", "e5"),  # and a third
+                ("Bob", "e2"),
+            ],
+            "surface string, canonical_id string",
+        )
+        driver = build_alias_dim(aliases, collect_dim=True)
+        dist = build_alias_dim(aliases, collect_dim=False)
+        a = sorted(tuple(r) for r in driver.collect())
+        b = sorted(tuple(r) for r in dist.collect())
+        assert a == b
+        assert dict(a)["a lovelace"] == "e1"  # deterministic min
+
     def test_whole_stage_codegen_on_agg(self, spark):
         li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
         agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
