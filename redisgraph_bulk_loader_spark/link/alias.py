@@ -206,9 +206,11 @@ def link_mentions(
     vocab = mentions.select(
         F.explode(F.array(*[F.col(c) for c in surface_cols])).alias("_surface")
     ).distinct()
+    from ..cache import pin
+
     if broadcast_vocab is None:
         if vocab_rows is None:
-            vocab = vocab.persist()
+            vocab = pin(vocab)
             vocab_rows = vocab.count()
         from ..operators.endpoints import BROADCAST_THRESHOLD_ROWS
 
@@ -225,7 +227,7 @@ def link_mentions(
         # The shuffle-join fallback references the resolved vocabulary
         # once per surface column — pin it so the mention scan +
         # distinct + normalize subtree runs once, not per column.
-        resolved = resolved.persist()
+        resolved = pin(resolved)
     out = mentions
     for col in surface_cols:
         cid_col = col.replace("_surface", "_cid")

@@ -61,13 +61,18 @@ def lsh_candidate_pairs(
     threshold, best match first per left key."""
     rows = num_hashes // bands
 
+    from ..cache import pin
+
     def prep(df, key, text, side):
         sigs = minhash_signatures(df, text, num_hashes=num_hashes, shingle_n=shingle_n)
-        base = sigs.select(
+        # pinned via the cache registry: released by the caller's
+        # PinScope once the candidate result is materialized, or by
+        # release_pins() in a long-lived session
+        base = pin(sigs.select(
             F.col(key).alias(f"{side}_key"),
             F.col("_shingles").alias(f"{side}_sh"),
             F.col("_sig"),
-        ).persist()
+        ))
         banded = base.select(
             f"{side}_key",
             F.explode(band_buckets(F.col("_sig"), bands, rows)).alias("_bb"),

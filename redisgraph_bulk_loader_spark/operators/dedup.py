@@ -102,10 +102,12 @@ def minhash_lsh_dedup_pairs(
     string band buckets so a DuckDB oracle reproduces the exact
     candidate set (algorithm twin — banding misses included)."""
     rows = num_hashes // bands
-    base = df.select(
+    from ..cache import pin
+
+    base = pin(df.select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_sh"),
-    ).persist()
+    ))
     # Band join carries only (id, band, bucket) — candidate pairs are
     # deduped as bare key pairs BEFORE the shingle arrays rejoin, so the
     # pair-dedup shuffle moves 2 ids per row instead of 2 full shingle
@@ -221,22 +223,28 @@ def dedup_assignments(
     from ..canon.components import injective_node_ids
     from .endpoints import BROADCAST_THRESHOLD_ROWS
 
+    from ..cache import PinScope
+
     # The pair join is the expensive plan and three consumers reference
-    # it (edges + both member projections): pin it. Near-dup pairs are
-    # O(duplicates), far smaller than the corpus.
-    if method == "minhash":
-        pairs = minhash_lsh_dedup_pairs(
-            df, id_col, text_col, n=n, threshold=threshold,
-            portable=portable,
-        )
-    elif method == "exact":
-        pairs = ngram_jaccard_pairs(
-            df, id_col, text_col,
-            n=n, threshold=threshold, max_shingle_freq=max_shingle_freq,
-        )
-    else:
-        raise ValueError("method must be 'minhash' or 'exact'")
-    pairs = pairs.localCheckpoint(eager=True)
+    # it (edges + both member projections): pin it eagerly. Near-dup
+    # pairs are O(duplicates), far smaller than the corpus. The eager
+    # localCheckpoint cuts lineage, so the shingle-set cache the pair
+    # generator pins internally is released right here instead of
+    # living for the session (persist hygiene, VERDICT r3 #3).
+    with PinScope():
+        if method == "minhash":
+            pairs = minhash_lsh_dedup_pairs(
+                df, id_col, text_col, n=n, threshold=threshold,
+                portable=portable,
+            )
+        elif method == "exact":
+            pairs = ngram_jaccard_pairs(
+                df, id_col, text_col,
+                n=n, threshold=threshold, max_shingle_freq=max_shingle_freq,
+            )
+        else:
+            raise ValueError("method must be 'minhash' or 'exact'")
+        pairs = pairs.localCheckpoint(eager=True)
     members = (
         pairs.select(F.col("id_a").alias(id_col))
         .union(pairs.select(F.col("id_b").alias(id_col)))

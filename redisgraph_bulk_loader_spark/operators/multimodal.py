@@ -185,14 +185,17 @@ def media_near_dup_pairs(
 
     A real decoder would emit perceptual frame hashes (pHash) instead
     of byte digests; the join/aggregation shape is identical."""
+    from ..cache import pin
+
     frames = sample_frames(media, every_ms=every_ms)
     # Four consumers reference the fingerprint frame (both sizes joins
     # + both self-join sides): pin it, or the decode+hash+distinct
-    # subtree re-executes per reference.
-    fp = frames.select(
+    # subtree re-executes per reference. Registered with the cache
+    # registry — release_pins() reclaims it in long-lived sessions.
+    fp = pin(frames.select(
         F.col("media_ref").alias("_ref"),
         F.sha2(F.col("frame_payload"), 256).alias("_fh"),
-    ).distinct().persist()
+    ).distinct())
     sizes = fp.groupBy("_ref").agg(F.count("*").alias("_sz"))
     inter = (
         fp.alias("a")

@@ -78,6 +78,19 @@ def _lsh_extra_mappings(
     return extra.localCheckpoint(eager=True)
 
 
+def _lsh_extra_mappings_scoped(
+    mentions_linked: DataFrame, aliases: DataFrame, threshold: float
+) -> Optional[DataFrame]:
+    """_lsh_extra_mappings with its internal caches scoped: the eager
+    checkpoint cuts lineage, so the prepped shingle/signature frames
+    lsh_candidate_pairs pins are released here instead of living for
+    the session (persist hygiene, VERDICT r3 #3)."""
+    from ..cache import PinScope
+
+    with PinScope():
+        return _lsh_extra_mappings(mentions_linked, aliases, threshold)
+
+
 def canonicalize(
     aliases: DataFrame,
     *,
@@ -174,7 +187,17 @@ def build_graph(
     The resume fingerprint covers doc_id AND span content: a corpus
     whose text/spans changed under unchanged doc_ids must not reuse a
     stale mentions checkpoint. Cost is one content scan per run; the
-    resume-skip case pays that scan instead of the full extraction."""
+    resume-skip case pays that scan instead of the full extraction.
+
+    Persist lifecycle: with a catalog, every returned frame is rebound
+    to a catalog read after the writes, so all internal caches are
+    unpersisted before returning. Without a catalog the returned lazy
+    frames still reference the caches; they move to the session
+    registry — call ``redisgraph_bulk_loader_spark.cache.release_pins()``
+    after consuming the results in a long-lived session."""
+    from ..cache import PinScope, pin
+
+    scope = PinScope()
     fp = (
         GraphCatalog.fingerprint_df(documents.select("doc_id", "spans"))
         if catalog is not None else None
@@ -201,7 +224,9 @@ def build_graph(
     # 2. extraction. Staged through the catalog when available (resume
     # checkpoint + columnar scans downstream); otherwise persisted —
     # without either, every write action would re-run the Arrow
-    # extractor over the full corpus.
+    # extractor over the full corpus. The non-staged persist is a
+    # session pin (outside the scope): the returned mentions frame IS
+    # the cache in that mode.
     mentions = extract_mentions(docs)
     staged = catalog is not None and checkpoint_stages
     if staged:
@@ -210,155 +235,186 @@ def build_graph(
                           input_fingerprint=fp)
         mentions = catalog.read("mentions")
     else:
-        mentions = mentions.persist()
+        mentions = pin(mentions)
+    scope.__enter__()
+    try:
 
-    # 3. linking: the alias dim is normalized + broadcast ONCE per run
-    # (the rebuild was the measured per-run fixed cost). When mentions
-    # are staged to a table, the link output is NOT cached: recomputing
-    # it is a columnar scan + broadcast joins (cheap, codegen), while
-    # caching 10^12-scale wide rows costs executor memory + GC. The
-    # in-memory path keeps the persist so downstream actions don't
-    # re-run the Arrow extractor.
-    dim0 = build_alias_dim(aliases)
-    linked0 = link_mentions(mentions, dim=dim0)
-    if not staged:
-        linked0 = linked0.persist()
-    extra = _lsh_extra_mappings(linked0, aliases, lsh_threshold)
-    # No leftovers -> the first join IS the final linking. Leftovers ->
-    # patch only the null-cid rows from the (tiny, pinned) extra
-    # mappings instead of re-linking the whole mention stream.
-    if extra is None:
-        aliases_aug = aliases
-        linked = linked0
-    else:
-        aliases_aug = aliases.unionByName(extra)
-        linked = patch_unresolved(linked0, extra)
+        # 3. linking: the alias dim is normalized + broadcast ONCE per run
+        # (the rebuild was the measured per-run fixed cost). When mentions
+        # are staged to a table, the link output is NOT cached: recomputing
+        # it is a columnar scan + broadcast joins (cheap, codegen), while
+        # caching 10^12-scale wide rows costs executor memory + GC. The
+        # in-memory path keeps the persist so downstream actions don't
+        # re-run the Arrow extractor.
+        dim0 = build_alias_dim(aliases)
+        linked0 = link_mentions(mentions, dim=dim0)
+        if not staged:
+            linked0 = pin(linked0)
+        extra = _lsh_extra_mappings_scoped(linked0, aliases, lsh_threshold)
+        # No leftovers -> the first join IS the final linking. Leftovers ->
+        # patch only the null-cid rows from the (tiny, pinned) extra
+        # mappings instead of re-linking the whole mention stream.
+        if extra is None:
+            aliases_aug = aliases
+            linked = linked0
+        else:
+            aliases_aug = aliases.unionByName(extra)
+            linked = patch_unresolved(linked0, extra)
 
-    # 4. canonicalization via connected components. The remap has one
-    # row per canonical entity — broadcast only while it provably fits
-    # (billions of entities at 100x must shuffle-join instead).
-    remap = canonicalize(aliases_aug).persist()
-    n_remap = remap.count()
+        # 4. canonicalization via connected components. The remap has one
+        # row per canonical entity — broadcast only while it provably fits
+        # (billions of entities at 100x must shuffle-join instead).
+        remap = pin(canonicalize(aliases_aug))
+        n_remap = remap.count()
 
-    def _mb(df: DataFrame) -> DataFrame:
-        return F.broadcast(df) if n_remap <= BROADCAST_THRESHOLD_ROWS else df
+        def _mb(df: DataFrame) -> DataFrame:
+            return F.broadcast(df) if n_remap <= BROADCAST_THRESHOLD_ROWS else df
 
-    linked = (
-        linked.join(
-            _mb(remap.withColumnRenamed("canonical_id", "subj_cid")
-                .withColumnRenamed("canon_id", "subj_canon")),
-            "subj_cid",
-            "left",
+        linked = (
+            linked.join(
+                _mb(remap.withColumnRenamed("canonical_id", "subj_cid")
+                    .withColumnRenamed("canon_id", "subj_canon")),
+                "subj_cid",
+                "left",
+            )
+            .join(
+                _mb(remap.withColumnRenamed("canonical_id", "obj_cid")
+                    .withColumnRenamed("canon_id", "obj_canon")),
+                "obj_cid",
+                "left",
+            )
+            .withColumn("subj_canon", F.coalesce("subj_canon", "subj_cid"))
+            .withColumn(
+                "obj_canon",
+                F.when(F.col("obj_kind") == "media", F.col("obj_cid")).otherwise(
+                    F.coalesce("obj_canon", "obj_cid")
+                ),
+            )
         )
-        .join(
-            _mb(remap.withColumnRenamed("canonical_id", "obj_cid")
-                .withColumnRenamed("canon_id", "obj_canon")),
-            "obj_cid",
-            "left",
+
+        # triples: resolved mentions only, deduped on (subj, pred, obj)
+        triples = (
+            linked.filter(
+                F.col("subj_canon").isNotNull() & F.col("obj_canon").isNotNull()
+            )
+            .select(
+                F.col("doc_id"),
+                F.col("subj_canon").alias("subj"),
+                F.col("pred"),
+                F.col("obj_canon").alias("obj"),
+                F.col("obj_kind"),
+            )
         )
-        .withColumn("subj_canon", F.coalesce("subj_canon", "subj_cid"))
-        .withColumn(
-            "obj_canon",
-            F.when(F.col("obj_kind") == "media", F.col("obj_cid")).otherwise(
-                F.coalesce("obj_canon", "obj_cid")
+        triples = pin(triples)
+        distinct_triples = pin(triples.dropDuplicates(["subj", "pred", "obj"]))
+
+        # 5. node registry: every canonical entity/place/media object
+        node_ext = (
+            triples.select(F.col("subj").alias("ext_id"), F.lit("entity").alias("label"))
+            .union(triples.select(F.col("obj").alias("ext_id"), F.col("obj_kind")))
+            .dropDuplicates(["ext_id"])
+            .withColumn(
+                "label",
+                F.when(F.col("ext_id").startswith("place:"), "place")
+                .when(F.col("ext_id").startswith("img://"), "media")
+                .otherwise("entity"),
+            )
+        )
+        registry = pin(build_node_registry(
+            node_ext, ["ext_id"], ["label", "ext_id"]
+        ))
+        n_registry = registry.count()  # warms the persist; feeds the join gate
+        nodes = node_ext.join(registry, "ext_id").select("internal_id", "label", "ext_id")
+
+        # label / reltype registries (tiny dims, mirror header tokens)
+        labels_reg = nodes.select("label").distinct().withColumn(
+            "label_code", F.row_number().over(Window.orderBy("label")) - 1
+        )
+        rel_reg = (
+            distinct_triples.select(F.col("pred").alias("rel_type"))
+            .distinct()
+            .withColumn("rel_code", F.row_number().over(Window.orderBy("rel_type")) - 1)
+        )
+
+        # 6. endpoint resolution -> edges with internal ids. Strategy is
+        # size-gated (broadcast vs salted shuffle) on the known registry
+        # count; strict validation is inline (no extra validation job).
+        edges = resolve_endpoints(
+            distinct_triples.select(
+                F.col("subj").alias("src_id"),
+                F.col("obj").alias("dst_id"),
+                F.col("pred").alias("rel_type"),
             ),
-        )
-    )
+            registry,
+            skip_invalid=False,
+            broadcast_registry=None,
+            registry_rows=n_registry,
+        ).select("src_internal", "dst_internal", "rel_type")
 
-    # triples: resolved mentions only, deduped on (subj, pred, obj)
-    triples = (
-        linked.filter(
-            F.col("subj_canon").isNotNull() & F.col("obj_canon").isNotNull()
-        )
-        .select(
-            F.col("doc_id"),
-            F.col("subj_canon").alias("subj"),
-            F.col("pred"),
-            F.col("obj_canon").alias("obj"),
-            F.col("obj_kind"),
-        )
-        .persist()
-    )
-    distinct_triples = triples.dropDuplicates(["subj", "pred", "obj"]).persist()
+        # 7. metrics: per-predicate counts, skew-safe
+        pred_counts = two_phase_count(triples, ["pred"], count_col="n_triples")
 
-    # 5. node registry: every canonical entity/place/media object
-    node_ext = (
-        triples.select(F.col("subj").alias("ext_id"), F.lit("entity").alias("label"))
-        .union(triples.select(F.col("obj").alias("ext_id"), F.col("obj_kind")))
-        .dropDuplicates(["ext_id"])
-        .withColumn(
-            "label",
-            F.when(F.col("ext_id").startswith("place:"), "place")
-            .when(F.col("ext_id").startswith("img://"), "media")
-            .otherwise("entity"),
-        )
-    )
-    registry = build_node_registry(
-        node_ext, ["ext_id"], ["label", "ext_id"]
-    ).persist()
-    n_registry = registry.count()  # warms the persist; feeds the join gate
-    nodes = node_ext.join(registry, "ext_id").select("internal_id", "label", "ext_id")
-
-    # label / reltype registries (tiny dims, mirror header tokens)
-    labels_reg = nodes.select("label").distinct().withColumn(
-        "label_code", F.row_number().over(Window.orderBy("label")) - 1
-    )
-    rel_reg = (
-        distinct_triples.select(F.col("pred").alias("rel_type"))
-        .distinct()
-        .withColumn("rel_code", F.row_number().over(Window.orderBy("rel_type")) - 1)
-    )
-
-    # 6. endpoint resolution -> edges with internal ids. Strategy is
-    # size-gated (broadcast vs salted shuffle) on the known registry
-    # count; strict validation is inline (no extra validation job).
-    edges = resolve_endpoints(
-        distinct_triples.select(
-            F.col("subj").alias("src_id"),
-            F.col("obj").alias("dst_id"),
-            F.col("pred").alias("rel_type"),
-        ),
-        registry,
-        skip_invalid=False,
-        broadcast_registry=None,
-        registry_rows=n_registry,
-    ).select("src_internal", "dst_internal", "rel_type")
-
-    # 7. metrics: per-predicate counts, skew-safe
-    pred_counts = two_phase_count(triples, ["pred"], count_col="n_triples")
-
-    results = {
-        "mentions": mentions,
-        "triples": distinct_triples,
-        "nodes": nodes,
-        "edges": edges,
-        "registry": registry,
-        "labels": labels_reg,
-        "rel_types": rel_reg,
-        "pred_counts": pred_counts,
-    }
-
-    if catalog is not None:
-        if not catalog.is_complete("build_graph", fp):
-            catalog.write("nodes", nodes, partition_by=["label"],
-                          stage="nodes", input_fingerprint=fp)
-            catalog.write("edges", edges, partition_by=["rel_type"],
-                          stage="edges", input_fingerprint=fp)
-            catalog.write("triples", distinct_triples,
-                          stage="triples", input_fingerprint=fp)
-            catalog.write("node_registry", registry,
-                          stage="node_registry", input_fingerprint=fp)
-            catalog.write("pred_counts", pred_counts,
-                          stage="build_graph", input_fingerprint=fp)
-        table_of = {
-            "nodes": "nodes", "edges": "edges", "triples": "triples",
-            "registry": "node_registry", "pred_counts": "pred_counts",
+        results = {
+            "mentions": mentions,
+            "triples": distinct_triples,
+            "nodes": nodes,
+            "edges": edges,
+            "registry": registry,
+            "labels": labels_reg,
+            "rel_types": rel_reg,
+            "pred_counts": pred_counts,
         }
-        for key, table in table_of.items():
-            if catalog.exists(table):
-                results[key] = catalog.read(table)
 
-    return results
+        if catalog is not None:
+            if not catalog.is_complete("build_graph", fp):
+                catalog.write("nodes", nodes, partition_by=["label"],
+                              stage="nodes", input_fingerprint=fp)
+                catalog.write("edges", edges, partition_by=["rel_type"],
+                              stage="edges", input_fingerprint=fp)
+                catalog.write("triples", distinct_triples,
+                              stage="triples", input_fingerprint=fp)
+                catalog.write("node_registry", registry,
+                              stage="node_registry", input_fingerprint=fp)
+                catalog.write("pred_counts", pred_counts,
+                              stage="build_graph", input_fingerprint=fp)
+            table_of = {
+                "nodes": "nodes", "edges": "edges", "triples": "triples",
+                "registry": "node_registry", "pred_counts": "pred_counts",
+            }
+            for key, table in table_of.items():
+                if catalog.exists(table):
+                    results[key] = catalog.read(table)
+            # Every heavy result is now backed by a catalog table;
+            # rebind the tiny derived registries onto those reads and
+            # release every cache the scope collected (incl. the
+            # linking vocabulary pins) — nothing returned references
+            # them anymore (persist hygiene, VERDICT r3 #3).
+            results["labels"] = (
+                results["nodes"].select("label").distinct().withColumn(
+                    "label_code",
+                    F.row_number().over(Window.orderBy("label")) - 1,
+                )
+            )
+            results["rel_types"] = (
+                results["triples"].select(F.col("pred").alias("rel_type"))
+                .distinct()
+                .withColumn(
+                    "rel_code",
+                    F.row_number().over(Window.orderBy("rel_type")) - 1,
+                )
+            )
+            scope.release()
+        else:
+            # no catalog: the returned lazy frames still reference the
+            # caches — move them to the session registry so
+            # cache.release_pins() can reclaim them later
+            scope.adopt()
+
+        return results
+    finally:
+        # success paths released/adopted above (no-op); an
+        # exception path unpersists everything pinned so far
+        scope.__exit__(None, None, None)
 
 
 def triple_prf(result_triples: DataFrame, gold_triples: DataFrame) -> dict:

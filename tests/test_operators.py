@@ -724,3 +724,97 @@ class TestReviewRegressions:
                                create_dest=False)
         got = [(r.src_internal, r.dst_internal) for r in edges.collect()]
         assert got == [(2, 1)]  # latest '0' row, exactly one edge
+
+
+class TestPersistHygiene:
+    """VERDICT r3 #3: package persists go through the cache registry;
+    eager-checkpoint compositions release their internal caches, and a
+    long-lived session can reclaim the rest with release_pins()."""
+
+    def test_pin_scope_releases(self, spark):
+        from redisgraph_bulk_loader_spark.cache import (
+            PinScope, pin, pinned_count, release_pins,
+        )
+
+        release_pins()
+        df = spark.range(10)
+        with PinScope():
+            pinned = pin(df)
+            assert pinned.storageLevel.useMemory
+            assert pinned_count() == 1
+        assert not pinned.storageLevel.useMemory
+        assert pinned_count() == 0
+        # no-scope pins land in the session registry
+        p2 = pin(spark.range(5))
+        assert pinned_count() == 1
+        assert release_pins() == 1
+        assert not p2.storageLevel.useMemory
+
+    def test_dedup_assignments_no_storage_growth(self, spark):
+        """Repeated dedup_assignments calls must not accumulate cached
+        frames: the shingle-set cache is released after the eager pair
+        checkpoint; only the checkpoint RDD of each returned result may
+        remain (freed when the result is garbage-collected)."""
+        import gc
+
+        from redisgraph_bulk_loader_spark.cache import (
+            pinned_count, release_pins,
+        )
+        from redisgraph_bulk_loader_spark.operators.dedup import (
+            dedup_assignments,
+        )
+
+        docs = spark.createDataFrame(
+            TestDedupAssignments._DOCS, "doc_id string, text string")
+        release_pins()
+        gc.collect()
+        base = spark.sparkContext._jsc.getPersistentRDDs().size()
+        for _ in range(3):
+            out = dedup_assignments(docs, "doc_id", "text", threshold=0.5,
+                                    method="minhash")
+            assert out.count() == 6
+            assert pinned_count() == 0  # internal caches released
+            del out
+        gc.collect()
+        after = spark.sparkContext._jsc.getPersistentRDDs().size()
+        # Each run legitimately leaves <=2 eager-checkpoint RDDs (pair
+        # set + injective node ids) until the async ContextCleaner
+        # reclaims the dropped results; the shingle-set CACHE must not
+        # add a third lingering entry per run (pre-fix: 3/run).
+        assert after - base <= 2 * 3
+
+    def test_build_graph_with_catalog_releases_all(self, spark, tmp_path):
+        from redisgraph_bulk_loader_spark.cache import (
+            pinned_count, release_pins,
+        )
+        from redisgraph_bulk_loader_spark.materialize import GraphCatalog
+        from redisgraph_bulk_loader_spark.plans import build_graph
+        from redisgraph_bulk_loader_spark.sources import (
+            alias_table, synthesize_documents,
+        )
+
+        release_pins()
+        docs = synthesize_documents(spark, 60, seed=3, partitions=2)
+        cat = GraphCatalog(spark, str(tmp_path / "hyg_cat"))
+        res = build_graph(spark, docs, alias_table(spark), cat)
+        assert res["triples"].count() > 0
+        # catalog mode: every result rebound to a table read; nothing
+        # stays pinned
+        assert pinned_count() == 0
+
+    def test_build_graph_without_catalog_adopts_pins(self, spark):
+        from redisgraph_bulk_loader_spark.cache import (
+            pinned_count, release_pins,
+        )
+        from redisgraph_bulk_loader_spark.plans import build_graph
+        from redisgraph_bulk_loader_spark.sources import (
+            alias_table, synthesize_documents,
+        )
+
+        release_pins()
+        docs = synthesize_documents(spark, 60, seed=3, partitions=2)
+        res = build_graph(spark, docs, alias_table(spark))
+        assert res["triples"].count() > 0
+        assert pinned_count() > 0  # session pins back the lazy results
+        assert release_pins() > 0
+        assert pinned_count() == 0
