@@ -196,12 +196,26 @@ def _update_parser() -> argparse.ArgumentParser:
                     help="edge-creation mode (the reference's "
                          "'MATCH (src) CREATE (src)-[:R]->(dest)' shape): "
                          "--query must project src_key, dst_key, and "
-                         "optional dest property columns")
+                         "optional dest property columns. NOTE: dest "
+                         "nodes are MERGEd by default (existing keys get "
+                         "property-SET, not duplicated) — pass "
+                         "--dest-mode create for the reference's exact "
+                         "CREATE semantics (a fresh dest node per row)")
+    ap.add_argument("--dest-mode", default="merge",
+                    choices=["merge", "create", "none"],
+                    help="dest-node handling in --edge mode: 'merge' "
+                         "(default; upsert by key), 'create' "
+                         "(reference-exact: fresh node per row, the "
+                         "row's edge targets it), 'none' (dest must "
+                         "already exist; unresolved rows dropped)")
     ap.add_argument("--rel-type", default="R",
                     help="relationship type for --edge mode")
     ap.add_argument("--merge-edges", action="store_true",
-                    help="MERGE instead of CREATE semantics in --edge "
-                         "mode (at most one edge per src/dst/type)")
+                    help="MERGE instead of CREATE semantics for the "
+                         "edges themselves in --edge mode (new edges "
+                         "deduped and skipped when an identical "
+                         "src/dst/type edge exists; existing edges are "
+                         "never touched)")
     ap.add_argument("--output", default=None,
                     help="catalog root directory (default ./<graph>_graph)")
     ap.add_argument("--master", default="local[*]")
@@ -246,7 +260,8 @@ def update_main(argv: Optional[list] = None) -> int:
             spark, existing, edges, rows, args.query,
             variable_name=args.variable_name,
             rel_type=args.rel_type, dest_label=args.label,
-            key_col=key_cols[0], dedup_edges=args.merge_edges,
+            key_col=key_cols[0], dest_mode=args.dest_mode,
+            dedup_edges=args.merge_edges,
         )
         catalog.write("nodes", nodes2, stage="update", input_fingerprint=None)
         catalog.write("edges", edges2, stage="update", input_fingerprint=None)

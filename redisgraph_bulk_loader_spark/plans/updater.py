@@ -398,6 +398,7 @@ def merge_edges(
     key_col: str = "key",
     order_col: str = "row_idx",
     create_dest: bool = True,
+    dest_mode: Optional[str] = None,
     dedup_edges: bool = False,
 ):
     """The reference's traversal-update shape — ``MATCH (src {id:
@@ -407,16 +408,43 @@ def merge_edges(
     1. rows whose ``src_col`` key has no existing node are dropped
        (Cypher MATCH semantics: an unmatched pattern yields nothing, so
        neither the dest node nor the edge is created for that row);
-    2. dest nodes are MERGEd (created if absent, property-SET if
-       present) with ``dest_label`` when ``create_dest``;
+    2. dest nodes, per ``dest_mode``:
+       - ``'create'``: reference-exact CREATE — EVERY matched row
+         creates a fresh dest node (fresh internal id, ``dest_label``),
+         even when a node with the same key exists, and that row's edge
+         points at the row's own fresh node (the reference counts
+         "Nodes created: 3" for 3 rows regardless of key collisions);
+       - ``'merge'``: dest keys are MERGEd (created if absent,
+         property-SET if present) — the batch-friendly variant that
+         never duplicates keyed nodes;
+       - ``'none'``: no dest handling; rows whose dst key is missing
+         are dropped (MATCH-both semantics).
+       ``create_dest`` is the legacy boolean spelling (True -> 'merge',
+       False -> 'none'); ``dest_mode`` wins when given.
     3. edges (src_internal, dst_internal, rel_type, props_json) are
-       appended — CREATE semantics; ``dedup_edges=True`` gives MERGE
-       semantics instead (at most one edge per (src, dst, rel_type)).
+       appended — CREATE semantics; ``dedup_edges=True`` gives Cypher
+       MERGE semantics instead: the NEW edges are deduped on
+       (src, dst, rel_type) and any that already exist are dropped,
+       while EXISTING edge rows — including legitimate duplicates from
+       earlier CREATE runs, and their properties — are left untouched
+       (MERGE never mutates or removes existing edges).
 
     Returns (nodes, edges) — both full frames. Property columns beyond
     ``src_col``/``dst_col`` become dest-node properties.
+
+    Batch caveat vs the reference's per-row loop: MATCH resolves
+    against the nodes present BEFORE this update — a node created by
+    an earlier row of the same CSV is not visible to later rows' src
+    MATCH (no reference test exercises that shape).
     """
+    from pyspark.sql import Window
+
     from ..operators.endpoints import resolve_endpoints
+
+    if dest_mode is None:
+        dest_mode = "merge" if create_dest else "none"
+    if dest_mode not in ("create", "merge", "none"):
+        raise ValueError("dest_mode must be 'create', 'merge', or 'none'")
 
     # 1. MATCH src: semi-join keeps only rows whose src node exists
     matched = projected.join(
@@ -424,50 +452,97 @@ def merge_edges(
         src_col,
         "semi",
     )
-    # 2. MERGE dest nodes (key = dst_col value, props = remaining cols)
-    if create_dest:
-        dest_proj = matched.select(
-            F.col(dst_col).alias(key_col),
-            *[c for c in matched.columns
-              if c not in (src_col, dst_col, key_col)],
-        )
-        nodes = upsert_nodes(
-            nodes, dest_proj, key_col=key_col, label=dest_label,
-            order_col=order_col,
-        )
-    # 3. resolve endpoints through the updated registry and append.
-    # Last-wins per key: under a reused identifier the reference's id
-    # dict points at the latest occurrence — without the dedup a
-    # duplicate key would fan each edge row into multiple edges.
-    from pyspark.sql import Window
+    prop_cols = [c for c in matched.columns
+                 if c not in (src_col, dst_col, order_col)]
 
-    w_reg = Window.partitionBy("ext_id").orderBy(F.col("internal_id").desc())
-    registry = (
+    w_src = Window.partitionBy("ext_id").orderBy(F.col("internal_id").desc())
+    src_registry = (
         nodes.select(F.col(key_col).alias("ext_id"), "internal_id")
-        .withColumn("_rr", F.row_number().over(w_reg))
+        .withColumn("_rr", F.row_number().over(w_src))
         .filter(F.col("_rr") == 1)
         .drop("_rr")
     )
-    resolved = resolve_endpoints(
-        matched.select(F.col(src_col).alias("src_key"),
-                       F.col(dst_col).alias("dst_key")),
-        registry,
-        src_col="src_key",
-        dst_col="dst_key",
-        skip_invalid=not create_dest,
-    )
-    new_edges = resolved.select(
-        "src_internal", "dst_internal",
-        F.lit(rel_type).alias("rel_type"),
-        F.lit("{}").alias("props_json"),
-    )
+
+    if dest_mode == "create":
+        # Reference CREATE: one fresh node per row; the row's edge
+        # targets that exact node. Update CSVs are dim-scale (<= the
+        # reference's 100k-row largest load), bounding the global
+        # row_number and the driver-side max-id lookup.
+        max_id = (nodes.agg(F.max("internal_id")).first()[0]
+                  if "internal_id" in nodes.columns else None)
+        next_base = (max_id if max_id is not None else -1)
+        fresh = matched.withColumn(
+            "_new_id",
+            F.lit(next_base)
+            + F.row_number().over(Window.orderBy(F.col(order_col))),
+        )
+        new_nodes = fresh.select(
+            F.col("_new_id").alias("internal_id"),
+            F.lit(dest_label).alias("label"),
+            F.col(dst_col).alias(key_col),
+            F.to_json(_props_map(prop_cols)).alias("props_json"),
+        ).select(*nodes.columns)
+        nodes = nodes.unionByName(new_nodes)
+        new_edges = (
+            fresh.join(src_registry,
+                       fresh[src_col] == src_registry["ext_id"])
+            .select(
+                F.col("internal_id").alias("src_internal"),
+                F.col("_new_id").alias("dst_internal"),
+                F.lit(rel_type).alias("rel_type"),
+                F.lit("{}").alias("props_json"),
+            )
+        )
+    else:
+        # 2. MERGE dest nodes (key = dst_col value, props = remaining)
+        if dest_mode == "merge":
+            dest_proj = matched.select(
+                F.col(dst_col).alias(key_col),
+                *[c for c in matched.columns
+                  if c not in (src_col, dst_col, key_col)],
+            )
+            nodes = upsert_nodes(
+                nodes, dest_proj, key_col=key_col, label=dest_label,
+                order_col=order_col,
+            )
+        # 3. resolve endpoints through the updated registry.
+        # Last-wins per key: under a reused identifier the reference's
+        # id dict points at the latest occurrence — without the dedup a
+        # duplicate key would fan each edge row into multiple edges.
+        w_reg = Window.partitionBy("ext_id").orderBy(
+            F.col("internal_id").desc())
+        registry = (
+            nodes.select(F.col(key_col).alias("ext_id"), "internal_id")
+            .withColumn("_rr", F.row_number().over(w_reg))
+            .filter(F.col("_rr") == 1)
+            .drop("_rr")
+        )
+        resolved = resolve_endpoints(
+            matched.select(F.col(src_col).alias("src_key"),
+                           F.col(dst_col).alias("dst_key")),
+            registry,
+            src_col="src_key",
+            dst_col="dst_key",
+            skip_invalid=dest_mode == "none",
+        )
+        new_edges = resolved.select(
+            "src_internal", "dst_internal",
+            F.lit(rel_type).alias("rel_type"),
+            F.lit("{}").alias("props_json"),
+        )
+    if dedup_edges:
+        new_edges = new_edges.dropDuplicates(
+            ["src_internal", "dst_internal", "rel_type"])
+        if edges is not None:
+            new_edges = new_edges.join(
+                edges.select("src_internal", "dst_internal", "rel_type"),
+                ["src_internal", "dst_internal", "rel_type"],
+                "left_anti",
+            )
     if edges is not None:
         out_edges = edges.unionByName(new_edges, allowMissingColumns=True)
     else:
         out_edges = new_edges
-    if dedup_edges:
-        out_edges = out_edges.dropDuplicates(
-            ["src_internal", "dst_internal", "rel_type"])
     return nodes, out_edges
 
 
@@ -482,12 +557,15 @@ def run_edge_update_query(
     rel_type: str,
     dest_label: str = "N",
     key_col: str = "key",
+    dest_mode: Optional[str] = None,
     dedup_edges: bool = False,
 ):
     """Edge-creating update: ``query`` projects ``src_key``,
-    ``dst_key``, and optional dest-property columns; see merge_edges.
+    ``dst_key``, and optional dest-property columns; see merge_edges
+    (incl. ``dest_mode``: 'merge' default, 'create' for the
+    reference-exact fresh-node-per-row semantics, 'none').
     Mirrors the reference's relationship-creating bulk_update
-    (test_bulk_update.py:83-121) with the documented projection+MERGE
+    (test_bulk_update.py:83-121) with the documented projection
     restriction."""
     view = "_rgbl_edge_rows"
     rows.createOrReplaceTempView(view)
@@ -500,5 +578,5 @@ def run_edge_update_query(
     return merge_edges(
         nodes, edges, projected,
         rel_type=rel_type, dest_label=dest_label, key_col=key_col,
-        dedup_edges=dedup_edges,
+        dest_mode=dest_mode, dedup_edges=dedup_edges,
     )

@@ -24,6 +24,24 @@ from typing import Iterator
 from pyspark.sql import DataFrame
 
 
+def _session_output_schema(events: DataFrame, user_col: str):
+    """(output StructType, key StructField) for the sessionizers: the
+    key field keeps ``user_col``'s name and input type (ADVICE r3 — a
+    hardcoded 'user_id long' mislabels renamed columns and breaks
+    Arrow conversion for string-typed ids)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    key_field = StructField(user_col, events.schema[user_col].dataType)
+    return (
+        StructType([
+            key_field,
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+        ]),
+        key_field,
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     *,
@@ -32,14 +50,17 @@ def sessionize_stream(
     gap_minutes: int = 30,
 ) -> DataFrame:
     """Streaming gap-based sessionization. Emits one
-    (user_id, n_sessions, n_events) row per touched user per
+    (<user_col>, n_sessions, n_events) row per touched user per
     micro-batch (update mode); the latest row per user is the running
     total. Cross-batch state: a session open at the end of one batch
-    continues into the next."""
+    continues into the next. The output key field carries ``user_col``'s
+    name AND type from the input schema (a string-typed user id must
+    not be declared long — Arrow conversion would fail at runtime)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_us = gap_minutes * 60 * 1_000_000
+    out_schema, _key_field = _session_output_schema(events, user_col)
 
     def fn(key, pdfs: Iterator["pd.DataFrame"], state):
         if state.exists:
@@ -65,7 +86,7 @@ def sessionize_stream(
         state.update((last_us, n_sessions, n_events))
         yield pd.DataFrame(
             {
-                "user_id": [key[0]],
+                user_col: [key[0]],
                 "n_sessions": [n_sessions],
                 "n_events": [n_events],
             }
@@ -73,7 +94,7 @@ def sessionize_stream(
 
     return events.groupBy(user_col).applyInPandasWithState(
         fn,
-        "user_id long, n_sessions long, n_events long",
+        out_schema,
         "last_us long, n_sessions long, n_events long",
         "update",
         GroupStateTimeout.NoTimeout,
@@ -91,7 +112,8 @@ def sessionize_stream_tws(
     API, ``transformWithStateInPandas`` (StatefulProcessor + typed
     ValueState, SPARK-46815): per-user ValueState carries (last event
     time, session count, event count) across micro-batches. Output and
-    state semantics are identical to ``sessionize_stream`` — the
+    state semantics are identical to ``sessionize_stream`` (including
+    the ``user_col``-derived output key field) — the
     applyInPandasWithState form remains for API parity; this is the
     forward-compatible path (the old API is soft-deprecated in
     Spark 4)."""
@@ -102,6 +124,7 @@ def sessionize_stream_tws(
     )
 
     gap_us = gap_minutes * 60 * 1_000_000
+    out_schema, _key_field = _session_output_schema(events, user_col)
 
     class _SessionProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:
@@ -130,7 +153,7 @@ def sessionize_stream_tws(
             self._state.update((last_us, n_sessions, n_events))
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
+                    user_col: [key[0]],
                     "n_sessions": [n_sessions],
                     "n_events": [n_events],
                 }
@@ -141,7 +164,7 @@ def sessionize_stream_tws(
 
     return events.groupBy(user_col).transformWithStateInPandas(
         statefulProcessor=_SessionProcessor(),
-        outputStructType="user_id long, n_sessions long, n_events long",
+        outputStructType=out_schema,
         outputMode="Update",
         timeMode="None",
     )

@@ -290,6 +290,74 @@ class TestNodeMergeAndEdges:
             create_dest=False, dedup_edges=True)
         assert merged.count() == 1  # MERGE: deduped
 
+    def test_merge_edges_dedup_preserves_existing(self, spark):
+        """ADVICE r3: Cypher MERGE only suppresses creating a NEW edge
+        when one exists — it never collapses pre-existing duplicate
+        edges (from earlier CREATE runs) nor replaces an existing
+        propertied edge with the new props-less row."""
+        from redisgraph_bulk_loader_spark.plans.updater import merge_edges
+
+        # two legitimate duplicates of (0->1), one carrying props
+        existing = spark.createDataFrame(
+            [(0, 1, "R", '{"w": 1}'), (0, 1, "R", "{}"),
+             (1, 2, "R", "{}")],
+            "src_internal long, dst_internal long, rel_type string, "
+            "props_json string",
+        )
+        # new rows: a dup of existing 0->1 (must be skipped) and a
+        # fresh 0->3 (must be created once despite appearing twice)
+        proj = spark.createDataFrame(
+            [("0", "5", 0), ("0", "3", 1), ("0", "3", 2)],
+            "src_key string, dst_key string, row_idx long",
+        )
+        # node internal ids: key '0'->0, '5'->1, '3'->2
+        _, out = merge_edges(
+            self._nodes(spark), existing, proj, rel_type="R",
+            create_dest=False, dedup_edges=True)
+        rows = sorted(
+            (r.src_internal, r.dst_internal, r.rel_type, r.props_json)
+            for r in out.collect()
+        )
+        assert rows == [
+            (0, 1, "R", '{"w": 1}'),  # existing propertied edge kept
+            (0, 1, "R", "{}"),        # existing dup kept
+            (0, 2, "R", "{}"),        # fresh 0->3 created once
+            (1, 2, "R", "{}"),        # untouched
+        ]
+
+    def test_merge_edges_create_dest_mode(self, spark):
+        """ADVICE r3: dest_mode='create' is the reference's exact
+        'CREATE (src)-[:R]->(dest:L {...})' — a row whose dst key
+        matches an existing node still creates a fresh node, and the
+        row's edge targets the fresh node, not the old one."""
+        import json
+
+        from redisgraph_bulk_loader_spark.plans.updater import merge_edges
+
+        # dst key '5' collides with an existing node (internal_id 1)
+        proj = spark.createDataFrame(
+            [("0", "5", "x2", 0), ("3", "7", "y2", 1)],
+            "src_key string, dst_key string, name string, row_idx long",
+        )
+        nodes, edges = merge_edges(
+            self._nodes(spark), None, proj, rel_type="R",
+            dest_label="L2", dest_mode="create")
+        nrows = nodes.collect()
+        assert len(nrows) == 5  # 3 existing + 2 created (no upsert)
+        created = {r.internal_id: r for r in nrows if r.internal_id > 2}
+        assert set(created) == {3, 4}  # fresh ids after max
+        assert all(r.label == "L2" for r in created.values())
+        # the colliding key '5' now appears twice: old node untouched
+        by_key = [r for r in nrows if r.key == "5"]
+        assert len(by_key) == 2
+        old = next(r for r in by_key if r.internal_id == 1)
+        assert json.loads(old.props_json)["name"] == '"b"'
+        # each edge targets its row's OWN fresh node
+        erows = {(r.src_internal, r.dst_internal) for r in edges.collect()}
+        new_of = {json.loads(r.props_json)["name"]: r.internal_id
+                  for r in created.values()}
+        assert erows == {(0, new_of['"x2"']), (2, new_of['"y2"'])}
+
 
 @pytest.mark.skipif(not os.path.isdir(REF_EXAMPLE),
                     reason="reference example fixtures unavailable")

@@ -377,3 +377,61 @@ class TestChunkOrderSessionize:
         finally:
             spark.conf.set(
                 "spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+class TestSessionizeCustomKeyColumn:
+    def test_string_typed_renamed_user_col(self, spark, tmp_path):
+        """ADVICE r3: the output key field must carry user_col's name
+        and type from the input schema — a string-typed 'device' key
+        previously failed Arrow conversion against the hardcoded
+        'user_id long' output schema."""
+        from datetime import datetime, timedelta
+
+        from redisgraph_bulk_loader_spark.streaming.stateful import (
+            sessionize_stream,
+        )
+
+        base = datetime(2024, 1, 1)
+        schema = "device string, ts timestamp"
+        src = tmp_path / "dev_src"
+        src.mkdir()
+        rows = [("dev-a", base), ("dev-a", base + timedelta(minutes=90)),
+                ("dev-b", base)]
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(src / "b1"))
+
+        got = {}
+
+        def sink(batch_df, _bid):
+            assert batch_df.columns == ["device", "n_sessions", "n_events"]
+            for r in batch_df.collect():
+                got[r.device] = (r.n_sessions, r.n_events)
+
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        out = sessionize_stream(stream, user_col="device")
+        assert out.schema["device"].dataType.typeName() == "string"
+        q = (
+            out.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "dev_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert got == {"dev-a": (2, 2), "dev-b": (1, 1)}
+
+    def test_tws_schema_derivation(self, spark):
+        """The TWS variant derives the same output schema (execution is
+        dependency-gated; the schema contract is checkable without a
+        stream)."""
+        from redisgraph_bulk_loader_spark.streaming.stateful import (
+            _session_output_schema,
+        )
+
+        events = spark.createDataFrame(
+            [], "device string, ts timestamp")
+        out_schema, key_field = _session_output_schema(events, "device")
+        assert key_field.name == "device"
+        assert key_field.dataType.typeName() == "string"
+        assert [f.name for f in out_schema.fields] == [
+            "device", "n_sessions", "n_events"]
