@@ -353,6 +353,41 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_media_near_dup(spark, sf_dir):
+    """Frame-hash Jaccard near-dup over media with planted duplicate
+    groups (VERDICT r3 #8): for every synthesized audio object, an
+    exact copy ('#d' — Jaccard 1.0 with the original) and a shortened
+    copy ('#s' — duration clamped to one frame, Jaccard 1/n_frames).
+    The Spark side hashes frame BYTES (sha2) and joins digests; the
+    oracle reproduces the same frame sets as HEX SUBSTRINGS of the
+    payload hex (byte-slice equality == hex-slice equality, and the
+    digests never surface in the output), making the whole
+    fan-out/inverted-index/Jaccard path SQL-checkable."""
+    from redisgraph_bulk_loader_spark.operators.multimodal import (
+        media_near_dup_pairs,
+        synthesize_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    refs = docs.select(
+        F.concat(F.lit("img://doc/"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        )
+    )
+    media = synthesize_media(spark, refs)
+    dup = media.withColumn(
+        "media_ref", F.concat(F.col("media_ref"), F.lit("#d")))
+    short = media.withColumn(
+        "media_ref", F.concat(F.col("media_ref"), F.lit("#s"))
+    ).withColumn(
+        "duration_ms",
+        F.when(F.col("duration_ms").isNotNull(), F.lit(1000))
+        .otherwise(F.lit(None)).cast("int"),
+    )
+    all_media = media.unionByName(dup).unionByName(short)
+    return media_near_dup_pairs(all_media, threshold=0.3)
+
+
 def _q_doc_bpe_tokens(spark, sf_dir):
     from redisgraph_bulk_loader_spark.functions.text import bpe_ish_token_count
 
@@ -526,6 +561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_self_join": _q_ann_self_join,
         "dedup_clusters": _q_dedup_clusters,
         "media_features": _q_media_features,
+        "media_near_dup": _q_media_near_dup,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
     }
 
@@ -1043,6 +1079,75 @@ def oracle_sql() -> dict[str, str]:
                         ELSE LEAST(GREATEST(dur_ms // 1000, 1), 32)
                    END AS n_frames
             FROM derived
+        """,
+        "media_near_dup": """
+            WITH refs AS (
+              SELECT 'img://doc/' || CAST(doc_id AS VARCHAR) AS base_ref
+              FROM documents WHERE doc_id < 100
+            ),
+            d AS (
+              SELECT base_ref, sha256(base_ref) AS dh FROM refs
+            ),
+            derived AS (
+              SELECT base_ref, dh,
+                     ('0x' || substr(dh, 1, 2))::INT AS b0,
+                     ('0x' || substr(dh, 3, 2))::INT % 7 + 2 AS k,
+                     64 + ('0x' || substr(dh, 5, 2))::INT AS cap,
+                     1000 + ('0x' || substr(dh, 11, 2))::INT * 10 AS dur_ms
+              FROM d
+            ),
+            audio AS (
+              -- only audio media (odd first digest byte) have frames
+              SELECT base_ref, dh, k,
+                     LEAST(cap, 32 * k) AS n_bytes,
+                     LEAST(GREATEST(dur_ms // 1000, 1), 32) AS nf
+              FROM derived WHERE b0 % 2 = 1
+            ),
+            variants AS (
+              SELECT base_ref AS media_ref, dh, k, n_bytes, nf FROM audio
+              UNION ALL
+              SELECT base_ref || '#d', dh, k, n_bytes, nf FROM audio
+              UNION ALL
+              SELECT base_ref || '#s', dh, k, n_bytes, 1 FROM audio
+            ),
+            payloads AS (
+              -- payload bytes = (sha256 digest repeated k times)
+              -- truncated to n_bytes; hex view, 2 chars per byte
+              SELECT media_ref,
+                     substr(repeat(dh, k), 1, 2 * n_bytes) AS ph,
+                     n_bytes, nf
+              FROM variants
+            ),
+            frames_raw AS (
+              SELECT media_ref, ph, n_bytes,
+                     unnest(range(CAST(nf AS BIGINT))) AS i
+              FROM payloads
+            ),
+            frames AS (
+              -- frame i = payload[(i*7) % max(n_bytes-8,1) :][:8];
+              -- hex-substring equality == frame-byte equality
+              SELECT DISTINCT media_ref,
+                     substr(ph,
+                            2 * ((i * 7) % GREATEST(n_bytes - 8, 1)) + 1,
+                            16) AS fh
+              FROM frames_raw
+            ),
+            sizes AS (
+              SELECT media_ref, COUNT(*) AS sz FROM frames GROUP BY media_ref
+            ),
+            inter AS (
+              SELECT a.media_ref AS ref_a, b.media_ref AS ref_b,
+                     COUNT(*) AS iv
+              FROM frames a JOIN frames b
+                ON a.fh = b.fh AND a.media_ref < b.media_ref
+              GROUP BY 1, 2
+            )
+            SELECT ref_a, ref_b,
+                   CAST(iv AS DOUBLE) / (sa.sz + sb.sz - iv) AS jaccard_sim
+            FROM inter
+            JOIN sizes sa ON sa.media_ref = inter.ref_a
+            JOIN sizes sb ON sb.media_ref = inter.ref_b
+            WHERE CAST(iv AS DOUBLE) / (sa.sz + sb.sz - iv) >= 0.3
         """,
         "dedup_clusters": _minhash_clusters_oracle_sql(0.5),
         "ann_self_join": _ann_self_join_oracle_sql(),

@@ -133,23 +133,32 @@ class GraphCatalog:
         ``mode='append'`` snapshots current ∪ delta (snapshot dirs are
         immutable, so the delta is unioned with the current snapshot
         before writing — the new snapshot is the full appended table,
-        and prior snapshots remain readable via ``read_at``)."""
+        and prior snapshots remain readable via ``read_at``).
+        ``mode='delta'`` writes ONLY the delta rows as the new snapshot
+        (Iceberg's fast append): reads resolve a delta snapshot as the
+        union of the chain back to the nearest full snapshot. This is
+        the streaming-ingestion mode — per-batch write volume is
+        O(batch), not O(accumulated table) (ADVICE r3); run
+        ``compact`` periodically to collapse a long chain into one full
+        snapshot (scan fan-in is one plan node per chain member)."""
         from pyspark.sql import Observation
 
-        if mode not in ("overwrite", "append"):
-            raise ValueError("mode must be 'overwrite' or 'append'")
+        if mode not in ("overwrite", "append", "delta"):
+            raise ValueError("mode must be 'overwrite', 'append', or 'delta'")
         t0 = time.time()
         m = self._manifest()
         entry = m["tables"].get(table, {"snapshots": []})
         snap_idx = len(entry["snapshots"])
-        if mode == "append":
-            if entry["snapshots"]:
+        if mode in ("append", "delta"):
+            if mode == "append" and entry["snapshots"]:
                 df = self.read(table).unionByName(df)
-            elif os.path.isdir(self.path(table)):
+            elif not entry["snapshots"] and os.path.isdir(self.path(table)):
                 # legacy flat-layout table (files directly under the
-                # table dir, no snapshot entries): append must still
-                # carry the existing rows into the first snapshot
+                # table dir, no snapshot entries): append/delta must
+                # still carry the existing rows into the first snapshot
                 df = self.spark.read.parquet(self.path(table)).unionByName(df)
+                if mode == "delta":
+                    mode = "append"  # first snapshot holds full rows
         obs = Observation()
         observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
         if self.fmt == "iceberg":
@@ -227,6 +236,26 @@ class GraphCatalog:
         return out
 
     def _read_snapshot(self, table: str, entry: dict, idx: int) -> DataFrame:
+        """Resolve snapshot ``idx``: a full snapshot reads directly; a
+        delta snapshot reads as the union of the chain back to (and
+        including) the nearest full snapshot — the table state as of
+        that commit, so time travel works mid-chain too."""
+        if entry["snapshots"][idx].get("mode") != "delta":
+            return self._read_physical(table, entry, idx)
+        chain = []
+        j = idx
+        while j >= 0:
+            chain.append(j)
+            if entry["snapshots"][j].get("mode") != "delta":
+                break
+            j -= 1
+        out = None
+        for i in reversed(chain):
+            part = self._read_physical(table, entry, i)
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    def _read_physical(self, table: str, entry: dict, idx: int) -> DataFrame:
         snap = entry["snapshots"][idx]
         if snap.get("expired"):
             raise ValueError(
@@ -328,6 +357,15 @@ class GraphCatalog:
         keep = ({s["snapshot"] for s in snaps[-keep_last:]}
                 if keep_last > 0 else set())
         keep.add(entry.get("current", len(snaps) - 1))
+        # a kept delta snapshot reads as a chain back to its base full
+        # snapshot: keep every chain member or the read would break
+        for idx in sorted(keep):
+            j = idx
+            while j >= 0:
+                keep.add(j)
+                if snaps[j].get("mode") != "delta":
+                    break
+                j -= 1
         n = 0
         for s in snaps:
             idx = s["snapshot"]

@@ -99,13 +99,150 @@ def _logical_cells(
     return whole.mapInPandas(run, schema=schema)
 
 
-def _record_source(spark: SparkSession, path: str, cfg: Config) -> DataFrame:
+#: above this input size the single-task whole-file parse (the only
+#: fully-general quoted-dialect reader) is replaced by the distributed
+#: quote-parity record assembly — a large CSV loaded with the CLI
+#: default --quote 0 (QUOTE_MINIMAL) must not lose all parallelism or
+#: OOM one executor (ADVICE r3).
+WHOLE_FILE_MAX_BYTES = 32 << 20
+
+
+def _input_size_bytes(spark: SparkSession, path: str) -> int:
+    """Total byte size of ``path`` via the Hadoop FileSystem API (works
+    for any scheme Spark can read)."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return int(fs.getContentSummary(p).getLength())
+
+
+def _distributed_logical_cells(
+    spark: SparkSession, path: str, cfg: Config, skip_header: bool = True
+) -> DataFrame:
+    """(row_idx, cells) for quoted dialects WITHOUT a single-task
+    whole-file parse: quoted fields may span physical lines, so records
+    are reassembled by quote parity — a physical line starts a new csv
+    record iff the number of unescaped quote characters before it is
+    even (an odd count means we are inside an open quoted field; note
+    doubled quotes ("" escaping) add 2 and correctly preserve parity).
+
+    Jobs: one scan computing per-line quote counts + per-partition
+    (start-count, parity) summaries (driver folds the tiny per-
+    partition vector into global offsets — nothing scales with rows),
+    one window pass assigning global record ids, one groupBy gluing
+    each record's lines back together, then the usual Arrow-batched
+    csv parse per record. Scales with partitions, not file size."""
+    from pyspark.sql import Window
+    from pyspark.sql.types import ArrayType
+
+    sep, quoting, esc = cfg.separator, cfg.quoting, cfg.escapechar
+    q = '"'
+
+    lines = _lines_with_index(spark, path, skip_header=False).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    cleaned = F.col("line")
+    if esc:
+        cleaned = F.replace(cleaned, F.lit(esc + esc), F.lit(""))
+        cleaned = F.replace(cleaned, F.lit(esc + q), F.lit(""))
+    from ..cache import pin
+
+    nq = (F.length(cleaned)
+          - F.length(F.replace(cleaned, F.lit(q), F.lit("")))).alias("_nq")
+    # the stats aggregate and the record-assembly window both reference
+    # the line scan: pin it (registry-managed — released by the
+    # caller's PinScope or release_pins())
+    lines = pin(lines.select("line", "row_idx", "_pid", nq))
+    w = Window.partitionBy("_pid").orderBy("row_idx")
+    cum_before = F.coalesce(
+        F.sum("_nq").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    with_parity = lines.withColumn("_cum_before", cum_before)
+    # per-partition: how many rows start a record under each
+    # possible entering parity, plus the partition's total quotes
+    stats = (
+        with_parity.groupBy("_pid")
+        .agg(
+            F.min("row_idx").alias("_min_idx"),
+            F.sum((F.col("_cum_before") % 2 == 0).cast("long"))
+            .alias("_n_even"),
+            F.sum((F.col("_cum_before") % 2 == 1).cast("long"))
+            .alias("_n_odd"),
+            F.sum("_nq").alias("_sum_nq"),
+        )
+        .collect()
+    )
+    stats.sort(key=lambda r: r["_min_idx"])
+    offsets = []  # (pid, entering_parity, start_offset)
+    parity, n_starts_total = 0, 0
+    for r in stats:
+        offsets.append((r["_pid"], parity, n_starts_total))
+        n_starts_total += (r["_n_even"] if parity == 0 else r["_n_odd"])
+        parity = (parity + int(r["_sum_nq"])) % 2
+    off_df = F.broadcast(spark.createDataFrame(
+        offsets, "_pid int, _epar long, _soff long"))
+    cum_starts = F.sum(
+        (((F.col("_epar") + F.col("_cum_before")) % 2 == 0).cast("long"))
+    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    records = (
+        with_parity.join(off_df, "_pid")
+        .withColumn("_rec", F.col("_soff") + cum_starts - 1)
+        .groupBy("_rec")
+        .agg(
+            F.concat_ws(
+                "\n",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("row_idx", "line"))
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias("_text")
+        )
+    )
+    if skip_header:
+        records = records.filter(F.col("_rec") > 0)
+
+    schema = StructType([
+        StructField("row_idx", LongType()),
+        StructField("cells", ArrayType(StringType())),
+    ])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            idx, rows = [], []
+            for rec, text in zip(pdf["_rec"], pdf["_text"]):
+                reader = _csv.reader(
+                    io.StringIO(text), delimiter=sep,
+                    skipinitialspace=True, quoting=quoting,
+                    escapechar=esc,
+                )
+                parsed = list(reader)
+                idx.append(int(rec))
+                rows.append([str(c) for c in parsed[0]] if parsed else [])
+            yield pd.DataFrame({"row_idx": idx, "cells": rows})
+
+    return records.mapInPandas(run, schema=schema)
+
+
+def _record_source(
+    spark: SparkSession, path: str, cfg: Config,
+    whole_file_max_bytes: Optional[int] = None,
+) -> DataFrame:
     """Pick the record reader for the configured dialect: distributed
     physical-line split under QUOTE_NONE (the reference default, where
-    a newline always ends a record), whole-file logical csv parse when
-    quoting is enabled (quoted fields may span lines)."""
+    a newline always ends a record); for quoted dialects, the
+    whole-file logical csv parse below ``whole_file_max_bytes`` (one
+    task, exact reference dialect) and the distributed quote-parity
+    assembly above it (quoted fields may span lines, but a large file
+    must not funnel through a single task — ADVICE r3)."""
     if cfg.quoting == _csv.QUOTE_NONE:
         return _lines_with_index(spark, path)
+    cap = (WHOLE_FILE_MAX_BYTES if whole_file_max_bytes is None
+           else whole_file_max_bytes)
+    if _input_size_bytes(spark, path) > cap:
+        return _distributed_logical_cells(spark, path, cfg)
     return _logical_cells(spark, path, cfg)
 
 

@@ -546,6 +546,55 @@ def merge_edges(
     return nodes, out_edges
 
 
+def run_custom_update(
+    spark: SparkSession,
+    nodes: DataFrame,
+    edges: Optional[DataFrame],
+    rows: Optional[DataFrame],
+    fn,
+    *,
+    validate: bool = True,
+):
+    """Escape hatch for arbitrary graph mutations — the last semantic
+    gap vs the reference's free-form Cypher updater
+    (/root/reference/redisgraph_bulk_loader/bulk_update.py:37 accepts
+    ANY fragment; the projection+MERGE helpers above cover every shape
+    the reference's own tests exercise, but a migrating user with e.g.
+    a conditional DELETE or multi-hop MATCH needs a supported path).
+
+    ``fn(nodes, edges, rows) -> (new_nodes, new_edges)`` expresses the
+    mutation as DataFrame transformations (joins/filters/unions over
+    the loader-shaped tables). Compile-time validation (the
+    GRAPH.EXPLAIN analogue, bulk_update.py:76-80) analyzes both result
+    plans BEFORE anything is written: an invalid expression raises
+    AnalysisException here, and a result that drops or retypes the
+    loader-schema columns is rejected — so a bad update cannot
+    half-apply.
+
+    Returns (new_nodes, new_edges); the caller commits them via
+    ``GraphCatalog.write`` (each write is one snapshot commit, matching
+    the reference's incremental batch semantics)."""
+    new_nodes, new_edges = fn(nodes, edges, rows)
+    if validate:
+        for name, before, after in (("nodes", nodes, new_nodes),
+                                    ("edges", edges, new_edges)):
+            if before is None or after is None:
+                continue
+            got = dict(after.limit(0).dtypes)  # forces analysis
+            for col, dtype in before.dtypes:
+                if col not in got:
+                    raise ValueError(
+                        f"custom update dropped required {name} column "
+                        f"'{col}'"
+                    )
+                if got[col] != dtype:
+                    raise ValueError(
+                        f"custom update changed {name} column '{col}' "
+                        f"from {dtype} to {got[col]}"
+                    )
+    return new_nodes, new_edges
+
+
 def run_edge_update_query(
     spark: SparkSession,
     nodes: DataFrame,

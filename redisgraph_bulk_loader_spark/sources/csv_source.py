@@ -1,4 +1,4 @@
-"""Loader-compatibility CSV source.
+"""Loader-compatibility CSV source (dialect unit-test harness).
 
 Reproduces the reference's csv dialect (studied at
 /root/reference/redisgraph_bulk_loader/entity_file.py:192-233,
@@ -6,6 +6,14 @@ config.py): delimiter option, leading-whitespace skip, QUOTE_NONE by
 default (quote characters stay literal — they drive type inference),
 optional escape char, and per-row arity validation (field count must
 equal header count, else CSVError).
+
+Scope note: the production loader lifecycle (plans/loader.py) reads
+records through its own ``_record_source`` (row order IS the
+reference's id-assignment key, which spark.read.csv cannot provide);
+this module's ``read_entity_csv`` exists to pin the Spark-native-csv
+mapping of the dialect (quote="", PERMISSIVE + corrupt-record arity
+checks) and is exercised by tests only. ``_read_header`` is the shared
+driver-side header reader both paths use.
 
 Spark mapping: ``spark.read.csv`` with an explicit all-string schema
 (Spark's own inference is never on the data path — typing belongs to
@@ -115,6 +123,8 @@ def read_entity_csv(
     else:
         dropped = bad.count()
     good = df.filter(F.col(_CORRUPT).isNull()).drop(_CORRUPT)
-    # Trim every field (reference strips each cell before typing).
-    good = good.select(*[F.col(c) for c in good.columns])
+    # Cells are returned RAW: per-field stripping is the typing
+    # kernel's job (it strips property cells before inference while
+    # identifiers keep trailing whitespace, matching the reference
+    # dialect — see kernel/typing_kernel.py and plans/loader.py).
     return CsvReadResult(plan=plan, df=good, dropped=dropped)

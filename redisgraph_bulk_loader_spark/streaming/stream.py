@@ -90,12 +90,15 @@ def stream_documents_to_graph(
     """Streaming KG ingestion: a readStream of spans-documents flows
     through the SAME batch operators (extract_mentions ->
     link_mentions against a prebuilt broadcast dim) inside
-    ``foreachBatch``, and each micro-batch appends one catalog
-    snapshot — an incremental commit per batch, the streaming analogue
-    of the reference's size-bounded incremental updates (partial
-    failure leaves prior batches applied; the checkpoint prevents
-    reprocessing). Canonicalization (connected components) is a
-    corpus-global operation and stays a periodic batch job over the
+    ``foreachBatch``, and each micro-batch lands one DELTA snapshot —
+    only the batch's own triples are written (Iceberg fast-append
+    shape), so write volume is O(batch) per commit, not a full rewrite
+    of the accumulated table (ADVICE r3). The commit log still gives
+    incremental semantics: partial failure leaves prior batches
+    applied, the checkpoint prevents reprocessing, and ``read`` unions
+    the delta chain. Run ``catalog.compact(table)`` periodically to
+    collapse a long chain. Canonicalization (connected components) is
+    a corpus-global operation and stays a periodic batch job over the
     accumulated table — document-level extraction+linking is the
     per-batch increment.
 
@@ -119,7 +122,7 @@ def stream_documents_to_graph(
                 F.col("obj_cid").alias("obj"),
             )
         )
-        catalog.write(table, triples, mode="append",
+        catalog.write(table, triples, mode="delta",
                       stage=f"stream_batch_{batch_id}")
 
     return stream_events_to_graph(

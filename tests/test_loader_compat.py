@@ -444,3 +444,82 @@ class TestEnforcedGolden:
         exp = sorted(tuple(r) for r in spark.read.parquet(
             "/root/repo/tests/golden/loader_enforced.parquet").collect())
         assert got == exp
+
+
+class TestDistributedQuotedParse:
+    """ADVICE r3: a large quoted-dialect CSV must not funnel through the
+    single-task whole-file parse — the distributed quote-parity record
+    assembly must produce byte-identical records."""
+
+    def _content(self):
+        import io as _io
+        import csv as _csv
+
+        buf = _io.StringIO()
+        w = _csv.writer(buf, quoting=_csv.QUOTE_MINIMAL)
+        w.writerow(["name", "desc"])
+        rows = []
+        for i in range(300):
+            if i % 3 == 0:
+                d = f"multi line {i}\nsecond {i}\nthird {i}"
+            elif i % 3 == 1:
+                d = f'quoted "inner" {i}, with comma'
+            else:
+                d = f"plain {i}"
+            rows.append((f"k{i:04d}", d))
+            w.writerow(rows[-1])
+        return buf.getvalue(), rows
+
+    def test_distributed_matches_whole_file(self, spark, tmp_path):
+        import csv as _csv
+
+        from redisgraph_bulk_loader_spark.cache import PinScope
+        from redisgraph_bulk_loader_spark.config import Config
+        from redisgraph_bulk_loader_spark.plans.loader import (
+            _distributed_logical_cells,
+            _logical_cells,
+        )
+
+        content, _rows = self._content()
+        p = tmp_path / "big.csv"
+        p.write_text(content)
+        cfg = Config(quoting=_csv.QUOTE_MINIMAL)
+        whole = _logical_cells(spark, str(p), cfg)
+        with PinScope():
+            dist = _distributed_logical_cells(spark, str(p), cfg)
+            a = sorted((r.row_idx, tuple(r.cells)) for r in whole.collect())
+            b = sorted((r.row_idx, tuple(r.cells)) for r in dist.collect())
+        assert a == b
+        assert len(b) == 300
+        # really multi-partition (the parity fold crossed a boundary)
+        from redisgraph_bulk_loader_spark.plans.loader import (
+            _lines_with_index,
+        )
+        nparts = _lines_with_index(spark, str(p), skip_header=False) \
+            .rdd.getNumPartitions()
+        assert nparts >= 2
+
+    def test_size_gate_routes_large_files(self, spark, tmp_path, monkeypatch):
+        """Above the gate the loader lifecycle runs the distributed
+        parse end to end with identical results."""
+        import csv as _csv
+        import json as _json
+
+        from redisgraph_bulk_loader_spark.config import Config
+        from redisgraph_bulk_loader_spark.plans import loader as loader_mod
+
+        content, rows = self._content()
+        p = tmp_path / "gate.csv"
+        p.write_text(content)
+        cfg = Config(quoting=_csv.QUOTE_MINIMAL)
+        g1 = loader_mod.bulk_insert(spark, [(str(p), "M")], (), cfg)
+        got1 = {r.key: (r.internal_id, r.props_json)
+                for r in g1.nodes.collect()}
+        monkeypatch.setattr(loader_mod, "WHOLE_FILE_MAX_BYTES", 0)
+        g2 = loader_mod.bulk_insert(spark, [(str(p), "M")], (), cfg)
+        got2 = {r.key: (r.internal_id, r.props_json)
+                for r in g2.nodes.collect()}
+        assert got1 == got2
+        assert len(got2) == 300
+        assert _json.loads(_json.loads(
+            got2["k0000"][1])["desc"]) == "multi line 0\nsecond 0\nthird 0"
