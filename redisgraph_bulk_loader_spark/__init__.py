@@ -20,6 +20,11 @@ encoder; this package generalizes it into a distributed pipeline:
 - ``materialize`` node/edge/triple table writes, lineage, resume
 - ``plans``       end-to-end pipeline orchestration
 - ``streaming``   Structured Streaming ingestion of event streams
+- ``cache``       persist-lifecycle registry (``release_pins`` is the
+                  long-lived-session contract for reclaiming operator
+                  caches)
 """
 
 __version__ = "0.1.0"
+
+from .cache import release_pins  # noqa: E402,F401 (session contract)

@@ -53,7 +53,11 @@ class PinScope:
     def __exit__(self, exc_type, exc, tb) -> None:
         if _SCOPE_STACK and _SCOPE_STACK[-1] is self:
             _SCOPE_STACK.pop()
-        if exc_type is None and not self._released:
+        # release on BOTH success and exception paths (unless the scope
+        # was explicitly released/adopted): a failed job must not leave
+        # its pins cached with no registry reference — that would be
+        # exactly the unbounded accumulation the registry prevents
+        if not self._released:
             self.release()
 
     def release(self) -> None:

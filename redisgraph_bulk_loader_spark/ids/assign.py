@@ -54,7 +54,9 @@ def assign_dense_ids(
     # assignments and the offsets go stale. At production scale this
     # stage's output is checkpointed to the catalog anyway (IDs are
     # assigned once, then read back), so the persist window is short.
-    with_pid = parted.withColumn("_pid", F.spark_partition_id()).persist()
+    from ..cache import pin
+
+    with_pid = pin(parted.withColumn("_pid", F.spark_partition_id()))
     counts = {
         r["_pid"]: r["cnt"]
         for r in with_pid.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()

@@ -82,6 +82,11 @@ def build_alias_dim(
 
         seen = {}
         for row in aliases.select("surface", "canonical_id").collect():
+            # null surfaces/cids are unusable mappings — skipped here,
+            # and the distributed path's isNotNull filter + min-ignores
+            # -nulls agg drops the same rows (gate-path agreement)
+            if row["surface"] is None or row["canonical_id"] is None:
+                continue
             key = _normalize_py(row["surface"])
             cid = row["canonical_id"]
             if key not in seen or cid < seen[key]:
@@ -94,7 +99,10 @@ def build_alias_dim(
             pdf = pdf.iloc[0:0]
         return F.broadcast(spark.createDataFrame(pdf))
     return F.broadcast(
-        aliases.select(
+        aliases.filter(
+            F.col("surface").isNotNull() & F.col("canonical_id").isNotNull()
+        )
+        .select(
             normalize_surface(F.col("surface")).alias("_norm"),
             F.col("canonical_id"),
         )

@@ -149,6 +149,7 @@ class GraphCatalog:
         m = self._manifest()
         entry = m["tables"].get(table, {"snapshots": []})
         snap_idx = len(entry["snapshots"])
+        delta_base = None
         if mode in ("append", "delta"):
             if mode == "append" and entry["snapshots"]:
                 df = self.read(table).unionByName(df)
@@ -159,6 +160,11 @@ class GraphCatalog:
                 df = self.spark.read.parquet(self.path(table)).unionByName(df)
                 if mode == "delta":
                     mode = "append"  # first snapshot holds full rows
+            if mode == "delta" and entry["snapshots"]:
+                # chain from the CURRENT snapshot (not the last written
+                # one): after a rollback, a delta must extend the
+                # rolled-back state, exactly like mode='append' does
+                delta_base = entry.get("current", snap_idx - 1)
         obs = Observation()
         observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
         if self.fmt == "iceberg":
@@ -186,6 +192,7 @@ class GraphCatalog:
                 "rows": n,
                 "mode": mode,
                 "snapshot": snap_idx,
+                "delta_base": delta_base,
                 "partition_by": partition_by or [],
                 "input_fingerprint": input_fingerprint,
                 # Schema rides the commit log (as in Iceberg metadata):
@@ -235,22 +242,28 @@ class GraphCatalog:
                 })
         return out
 
+    @staticmethod
+    def _delta_chain(entry: dict, idx: int) -> List[int]:
+        """Snapshot indices composing the table state at ``idx``, base
+        first: a delta snapshot extends the explicit ``delta_base`` it
+        was committed against (the CURRENT snapshot at write time — so
+        a delta written after a rollback extends the rolled-back state,
+        not the physically-previous snapshot)."""
+        chain = []
+        j: Optional[int] = idx
+        while j is not None:
+            chain.append(j)
+            snap = entry["snapshots"][j]
+            j = (snap.get("delta_base")
+                 if snap.get("mode") == "delta" else None)
+        return list(reversed(chain))
+
     def _read_snapshot(self, table: str, entry: dict, idx: int) -> DataFrame:
         """Resolve snapshot ``idx``: a full snapshot reads directly; a
-        delta snapshot reads as the union of the chain back to (and
-        including) the nearest full snapshot — the table state as of
-        that commit, so time travel works mid-chain too."""
-        if entry["snapshots"][idx].get("mode") != "delta":
-            return self._read_physical(table, entry, idx)
-        chain = []
-        j = idx
-        while j >= 0:
-            chain.append(j)
-            if entry["snapshots"][j].get("mode") != "delta":
-                break
-            j -= 1
+        delta snapshot reads as the union of its base chain — the table
+        state as of that commit, so time travel works mid-chain too."""
         out = None
-        for i in reversed(chain):
+        for i in self._delta_chain(entry, idx):
             part = self._read_physical(table, entry, i)
             out = part if out is None else out.unionByName(part)
         return out
@@ -357,15 +370,10 @@ class GraphCatalog:
         keep = ({s["snapshot"] for s in snaps[-keep_last:]}
                 if keep_last > 0 else set())
         keep.add(entry.get("current", len(snaps) - 1))
-        # a kept delta snapshot reads as a chain back to its base full
-        # snapshot: keep every chain member or the read would break
+        # a kept delta snapshot reads as its base chain: keep every
+        # chain member or the read would break
         for idx in sorted(keep):
-            j = idx
-            while j >= 0:
-                keep.add(j)
-                if snaps[j].get("mode") != "delta":
-                    break
-                j -= 1
+            keep.update(self._delta_chain(entry, idx))
         n = 0
         for s in snaps:
             idx = s["snapshot"]

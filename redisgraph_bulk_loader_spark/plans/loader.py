@@ -101,7 +101,7 @@ def _logical_cells(
 
 #: above this input size the single-task whole-file parse (the only
 #: fully-general quoted-dialect reader) is replaced by the distributed
-#: quote-parity record assembly — a large CSV loaded with the CLI
+#: quote-state record assembly — a large CSV loaded with the CLI
 #: default --quote 0 (QUOTE_MINIMAL) must not lose all parallelism or
 #: OOM one executor (ADVICE r3).
 WHOLE_FILE_MAX_BYTES = 32 << 20
@@ -116,82 +116,195 @@ def _input_size_bytes(spark: SparkSession, path: str) -> int:
     return int(fs.getContentSummary(p).getLength())
 
 
+def _scan_quote_state(line, in_q, sep, esc):
+    """Exit ``(in_quote, dangling_escape)`` of one physical line given
+    the entering in-quote state, following python csv's quoting state
+    machine (doublequote=True; a quote OPENS quoting only at field
+    start — optionally after skipped initial spaces — while a mid-field
+    quote is literal data; escapechar escapes the next char in either
+    state; an escapechar as the line's last char escapes the newline
+    itself, so the record continues)."""
+    at_fs = not in_q
+    dangling = False
+    i, n = 0, len(line)
+    while i < n:
+        c = line[i]
+        if esc is not None and c == esc:
+            if i + 1 >= n:
+                dangling = True
+                break
+            i += 2
+            at_fs = False
+            continue
+        if in_q:
+            if c == '"':
+                if i + 1 < n and line[i + 1] == '"':
+                    i += 2  # doubled quote: literal, stays quoted
+                    continue
+                in_q = False
+                at_fs = False
+            i += 1
+            continue
+        if c == sep:
+            at_fs = True
+        elif c == '"' and at_fs:
+            in_q = True
+        elif c == " " and at_fs:
+            pass  # skipinitialspace: still at field start
+        else:
+            at_fs = False
+        i += 1
+    return in_q, dangling
+
+
+def _sniff_newline(path: str) -> str:
+    """Line terminator of the file ("\r\n" or "\n") from its head —
+    Hadoop's line reader strips BOTH, so record reassembly must rejoin
+    embedded (in-quote) line breaks with the original terminator or
+    multi-line cell bytes differ from the whole-file parse. Non-local
+    paths fall back to "\n"."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(1 << 16)
+        return "\r\n" if b"\r\n" in head else "\n"
+    except OSError:
+        return "\n"
+
+
 def _distributed_logical_cells(
     spark: SparkSession, path: str, cfg: Config, skip_header: bool = True
 ) -> DataFrame:
     """(row_idx, cells) for quoted dialects WITHOUT a single-task
-    whole-file parse: quoted fields may span physical lines, so records
-    are reassembled by quote parity — a physical line starts a new csv
-    record iff the number of unescaped quote characters before it is
-    even (an odd count means we are inside an open quoted field; note
-    doubled quotes ("" escaping) add 2 and correctly preserve parity).
+    whole-file parse: quoted fields may span physical lines, so
+    physical lines must be reassembled into csv records before parsing.
 
-    Jobs: one scan computing per-line quote counts + per-partition
-    (start-count, parity) summaries (driver folds the tiny per-
-    partition vector into global offsets — nothing scales with rows),
-    one window pass assigning global record ids, one groupBy gluing
-    each record's lines back together, then the usual Arrow-batched
-    csv parse per record. Scales with partitions, not file size."""
-    from pyspark.sql import Window
-    from pyspark.sql.types import ArrayType
+    A physical line starts a new record iff the previous line ended
+    outside a quoted field with no dangling escape. The quoting state
+    machine is simulated per line (``_scan_quote_state`` — a faithful
+    python-csv twin: mid-field literal quotes do NOT toggle state,
+    doubled quotes stay inside the quoted field); since the entering
+    state of a partition is unknown until its predecessors finish, each
+    task runs the simulation under BOTH entering assumptions (outside /
+    inside a quote) in one pass — mapInPandas hands one task the whole
+    partition's batches in order, so the dual state threads across
+    batches. The driver then folds the per-partition summaries (a few
+    longs per partition — nothing scales with rows) into each
+    partition's actual entering state + global record offset, and a
+    broadcast join picks the right per-line record id. groupBy glues
+    each record's lines back together (joined with the file's sniffed
+    line terminator, so CRLF files keep their in-cell bytes), then the
+    usual Arrow-batched csv parse runs per record. Scales with
+    partitions, not file size.
+
+    Known deviation (pathological): a line ending in a bare escapechar
+    continues the record (correct), but a quote as the literal FIRST
+    char of the continuation line is treated as opening a quoted field
+    even though python csv would consider it mid-field; no real dialect
+    hits this (escaped newlines in quoted dialects are not exercised by
+    the reference either)."""
+    from pyspark.sql.types import ArrayType, BooleanType, IntegerType
 
     sep, quoting, esc = cfg.separator, cfg.quoting, cfg.escapechar
-    q = '"'
+    newline = _sniff_newline(path)
+
+    from ..cache import pin
 
     lines = _lines_with_index(spark, path, skip_header=False).withColumn(
         "_pid", F.spark_partition_id()
     )
-    cleaned = F.col("line")
-    if esc:
-        cleaned = F.replace(cleaned, F.lit(esc + esc), F.lit(""))
-        cleaned = F.replace(cleaned, F.lit(esc + q), F.lit(""))
-    from ..cache import pin
 
-    nq = (F.length(cleaned)
-          - F.length(F.replace(cleaned, F.lit(q), F.lit("")))).alias("_nq")
-    # the stats aggregate and the record-assembly window both reference
-    # the line scan: pin it (registry-managed — released by the
-    # caller's PinScope or release_pins())
-    lines = pin(lines.select("line", "row_idx", "_pid", nq))
-    w = Window.partitionBy("_pid").orderBy("row_idx")
-    cum_before = F.coalesce(
-        F.sum("_nq").over(w.rowsBetween(Window.unboundedPreceding, -1)),
-        F.lit(0),
-    )
-    with_parity = lines.withColumn("_cum_before", cum_before)
-    # per-partition: how many rows start a record under each
-    # possible entering parity, plus the partition's total quotes
+    scan_schema = StructType([
+        StructField("row_idx", LongType()),
+        StructField("line", StringType()),
+        StructField("_pid", IntegerType()),
+        StructField("_cnt_o", LongType()),
+        StructField("_cnt_i", LongType()),
+        StructField("_exq_o", BooleanType()),
+        StructField("_dng_o", BooleanType()),
+        StructField("_exq_i", BooleanType()),
+        StructField("_dng_i", BooleanType()),
+    ])
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # dual simulation threads across this task's (= partition's)
+        # batches: state under the entered-outside / entered-inside
+        # assumptions
+        st = {"O": (False, False), "I": (True, False)}
+        cnt = {"O": 0, "I": 0}
+        for pdf in batches:
+            out = {f.name: [] for f in scan_schema.fields}
+            for row_idx, line, pid in zip(
+                pdf["row_idx"], pdf["line"], pdf["_pid"]
+            ):
+                line = str(line)
+                quick = '"' not in line and (esc is None or esc not in line)
+                for tag in ("O", "I"):
+                    in_q, dang = st[tag]
+                    if not (in_q or dang):
+                        cnt[tag] += 1  # this line starts a record
+                    if quick:
+                        st[tag] = (in_q, False)
+                    else:
+                        st[tag] = _scan_quote_state(line, in_q, sep, esc)
+                out["row_idx"].append(int(row_idx))
+                out["line"].append(line)
+                out["_pid"].append(int(pid))
+                out["_cnt_o"].append(cnt["O"])
+                out["_cnt_i"].append(cnt["I"])
+                out["_exq_o"].append(st["O"][0])
+                out["_dng_o"].append(st["O"][1])
+                out["_exq_i"].append(st["I"][0])
+                out["_dng_i"].append(st["I"][1])
+            yield pd.DataFrame(out)
+
+    scanned = pin(lines.mapInPandas(scan, schema=scan_schema))
     stats = (
-        with_parity.groupBy("_pid")
+        scanned.groupBy("_pid")
         .agg(
             F.min("row_idx").alias("_min_idx"),
-            F.sum((F.col("_cum_before") % 2 == 0).cast("long"))
-            .alias("_n_even"),
-            F.sum((F.col("_cum_before") % 2 == 1).cast("long"))
-            .alias("_n_odd"),
-            F.sum("_nq").alias("_sum_nq"),
+            F.max("_cnt_o").alias("_n_o"),
+            F.max("_cnt_i").alias("_n_i"),
+            F.max_by("_exq_o", "row_idx").alias("_exq_o"),
+            F.max_by("_dng_o", "row_idx").alias("_dng_o"),
+            F.max_by("_exq_i", "row_idx").alias("_exq_i"),
+            F.max_by("_dng_i", "row_idx").alias("_dng_i"),
         )
         .collect()
     )
     stats.sort(key=lambda r: r["_min_idx"])
-    offsets = []  # (pid, entering_parity, start_offset)
-    parity, n_starts_total = 0, 0
+    # driver fold: resolve each partition's actual entering state
+    # (quote state + was-the-boundary-line-a-continuation) and its
+    # global record-id offset
+    offsets = []  # (pid, use_in, soff, adj)
+    enter_q, enter_d = False, False
+    soff = 0
     for r in stats:
-        offsets.append((r["_pid"], parity, n_starts_total))
-        n_starts_total += (r["_n_even"] if parity == 0 else r["_n_odd"])
-        parity = (parity + int(r["_sum_nq"])) % 2
+        cont = enter_q or enter_d
+        use_in = enter_q
+        # entering outside-quote but mid-record (dangling escape): the
+        # partition's first line was counted as a start by the OUT
+        # simulation — shift its running count down by one
+        adj = 1 if (not enter_q and cont) else 0
+        offsets.append((int(r["_pid"]), bool(use_in), soff, adj))
+        soff += int(r["_n_i"] if use_in else r["_n_o"]) - adj
+        if use_in:
+            enter_q, enter_d = bool(r["_exq_i"]), bool(r["_dng_i"])
+        else:
+            enter_q, enter_d = bool(r["_exq_o"]), bool(r["_dng_o"])
     off_df = F.broadcast(spark.createDataFrame(
-        offsets, "_pid int, _epar long, _soff long"))
-    cum_starts = F.sum(
-        (((F.col("_epar") + F.col("_cum_before")) % 2 == 0).cast("long"))
-    ).over(w.rowsBetween(Window.unboundedPreceding, 0))
+        offsets, "_pid int, _use_in boolean, _soff long, _adj long"))
+    rec_id = (
+        F.col("_soff")
+        + F.when(F.col("_use_in"), F.col("_cnt_i")).otherwise(F.col("_cnt_o"))
+        - 1 - F.col("_adj")
+    )
     records = (
-        with_parity.join(off_df, "_pid")
-        .withColumn("_rec", F.col("_soff") + cum_starts - 1)
+        scanned.join(off_df, "_pid")
+        .withColumn("_rec", rec_id)
         .groupBy("_rec")
         .agg(
             F.concat_ws(
-                "\n",
+                newline,
                 F.transform(
                     F.array_sort(
                         F.collect_list(F.struct("row_idx", "line"))
@@ -234,9 +347,9 @@ def _record_source(
     physical-line split under QUOTE_NONE (the reference default, where
     a newline always ends a record); for quoted dialects, the
     whole-file logical csv parse below ``whole_file_max_bytes`` (one
-    task, exact reference dialect) and the distributed quote-parity
-    assembly above it (quoted fields may span lines, but a large file
-    must not funnel through a single task — ADVICE r3)."""
+    task, exact reference dialect) and the distributed quote-state
+    record assembly above it (quoted fields may span lines, but a
+    large file must not funnel through a single task — ADVICE r3)."""
     if cfg.quoting == _csv.QUOTE_NONE:
         return _lines_with_index(spark, path)
     cap = (WHOLE_FILE_MAX_BYTES if whole_file_max_bytes is None
@@ -383,7 +496,9 @@ def bulk_insert(
         all_nodes = all_nodes.unionByName(f)
 
     # dense internal ids in (file, row) order — reference counter parity
-    with_ids = assign_dense_ids(all_nodes, ["file_idx", "row_idx"]).cache()
+    from ..cache import pin
+
+    with_ids = pin(assign_dense_ids(all_nodes, ["file_idx", "row_idx"]))
 
     # duplicate identifiers
     if cfg.store_node_identifiers:

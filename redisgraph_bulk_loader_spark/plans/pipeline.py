@@ -91,6 +91,17 @@ def _lsh_extra_mappings_scoped(
         return _lsh_extra_mappings(mentions_linked, aliases, threshold)
 
 
+def _coded_dim(df: DataFrame, col: str, out_col: str, code_col: str) -> DataFrame:
+    """(distinct values of ``col``) + dense 0-based codes ordered by
+    value — the label/reltype registry shape (tiny dims, mirror the
+    reference's header tokens)."""
+    return (
+        df.select(F.col(col).alias(out_col)).distinct()
+        .withColumn(code_col,
+                    F.row_number().over(Window.orderBy(out_col)) - 1)
+    )
+
+
 def canonicalize(
     aliases: DataFrame,
     *,
@@ -327,14 +338,9 @@ def build_graph(
         nodes = node_ext.join(registry, "ext_id").select("internal_id", "label", "ext_id")
 
         # label / reltype registries (tiny dims, mirror header tokens)
-        labels_reg = nodes.select("label").distinct().withColumn(
-            "label_code", F.row_number().over(Window.orderBy("label")) - 1
-        )
-        rel_reg = (
-            distinct_triples.select(F.col("pred").alias("rel_type"))
-            .distinct()
-            .withColumn("rel_code", F.row_number().over(Window.orderBy("rel_type")) - 1)
-        )
+        labels_reg = _coded_dim(nodes, "label", "label", "label_code")
+        rel_reg = _coded_dim(distinct_triples, "pred", "rel_type",
+                             "rel_code")
 
         # 6. endpoint resolution -> edges with internal ids. Strategy is
         # size-gated (broadcast vs salted shuffle) on the known registry
@@ -389,20 +395,10 @@ def build_graph(
             # release every cache the scope collected (incl. the
             # linking vocabulary pins) — nothing returned references
             # them anymore (persist hygiene, VERDICT r3 #3).
-            results["labels"] = (
-                results["nodes"].select("label").distinct().withColumn(
-                    "label_code",
-                    F.row_number().over(Window.orderBy("label")) - 1,
-                )
-            )
-            results["rel_types"] = (
-                results["triples"].select(F.col("pred").alias("rel_type"))
-                .distinct()
-                .withColumn(
-                    "rel_code",
-                    F.row_number().over(Window.orderBy("rel_type")) - 1,
-                )
-            )
+            results["labels"] = _coded_dim(
+                results["nodes"], "label", "label", "label_code")
+            results["rel_types"] = _coded_dim(
+                results["triples"], "pred", "rel_type", "rel_code")
             scope.release()
         else:
             # no catalog: the returned lazy frames still reference the

@@ -547,7 +547,6 @@ def merge_edges(
 
 
 def run_custom_update(
-    spark: SparkSession,
     nodes: DataFrame,
     edges: Optional[DataFrame],
     rows: Optional[DataFrame],

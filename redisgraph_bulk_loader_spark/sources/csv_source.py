@@ -110,7 +110,9 @@ def read_entity_csv(
     # CSV scan (QUERY_ONLY_CORRUPT_RECORD_COLUMN); cache the parsed frame
     # before the validity split. The loader-compat CSV path is dimension
     # -scale input — the 100 TB path is the documents source.
-    df = df.cache()
+    from ..cache import pin
+
+    df = pin(df)
     bad = df.filter(F.col(_CORRUPT).isNotNull())
     dropped = 0
     if strict_arity:

@@ -493,7 +493,7 @@ class TestCustomUpdateHook:
             )
             return kept, kept_edges
 
-        n2, e2 = run_custom_update(spark, nodes, edges, rows, detach_delete)
+        n2, e2 = run_custom_update(nodes, edges, rows, detach_delete)
         assert [r.key for r in n2.collect()] == ["a"]
         assert e2.count() == 0  # every edge touched a deleted node
 
@@ -505,11 +505,11 @@ class TestCustomUpdateHook:
         nodes, edges = self._graph(spark)
         with pytest.raises(ValueError, match="dropped required nodes"):
             run_custom_update(
-                spark, nodes, edges, None,
+                nodes, edges, None,
                 lambda n, e, r: (n.drop("props_json"), e))
         with pytest.raises(ValueError, match="changed edges column"):
             run_custom_update(
-                spark, nodes, edges, None,
+                nodes, edges, None,
                 lambda n, e, r: (
                     n, e.withColumn("src_internal",
                                     e.src_internal.cast("string"))))

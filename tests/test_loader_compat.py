@@ -456,19 +456,31 @@ class TestDistributedQuotedParse:
         import csv as _csv
 
         buf = _io.StringIO()
-        w = _csv.writer(buf, quoting=_csv.QUOTE_MINIMAL)
+        w = _csv.writer(buf, quoting=_csv.QUOTE_MINIMAL,
+                        lineterminator="\n")
         w.writerow(["name", "desc"])
         rows = []
         for i in range(300):
-            if i % 3 == 0:
+            if i % 4 == 0:
                 d = f"multi line {i}\nsecond {i}\nthird {i}"
-            elif i % 3 == 1:
-                d = f'quoted "inner" {i}, with comma'
-            else:
+            elif i % 4 == 1:
+                d = f'quoted "inner" {i}, with comma'  # writer doubles
+            elif i % 4 == 2:
                 d = f"plain {i}"
+            else:
+                d = f"comma, {i}"
             rows.append((f"k{i:04d}", d))
             w.writerow(rows[-1])
-        return buf.getvalue(), rows
+        content = buf.getvalue()
+        # literal mid-field quotes in UNQUOTED fields (raw lines — a
+        # csv writer would quote them): csv.reader keeps them as data
+        # with NO quoting-state change; naive quote-parity counting
+        # would flip state here and merge/drop every following record
+        # (the code-review r4 corruption case)
+        for i in range(40):
+            content += f'k9{i:03d},5" literal {i}\n'
+            content += f'k8{i:03d},tail quote {i}"\n'
+        return content, rows
 
     def test_distributed_matches_whole_file(self, spark, tmp_path):
         import csv as _csv
@@ -490,7 +502,7 @@ class TestDistributedQuotedParse:
             a = sorted((r.row_idx, tuple(r.cells)) for r in whole.collect())
             b = sorted((r.row_idx, tuple(r.cells)) for r in dist.collect())
         assert a == b
-        assert len(b) == 300
+        assert len(b) == 380
         # really multi-partition (the parity fold crossed a boundary)
         from redisgraph_bulk_loader_spark.plans.loader import (
             _lines_with_index,
@@ -520,6 +532,34 @@ class TestDistributedQuotedParse:
         got2 = {r.key: (r.internal_id, r.props_json)
                 for r in g2.nodes.collect()}
         assert got1 == got2
-        assert len(got2) == 300
+        assert len(got2) == 380
         assert _json.loads(_json.loads(
             got2["k0000"][1])["desc"]) == "multi line 0\nsecond 0\nthird 0"
+
+    def test_crlf_multiline_fields_match(self, spark, tmp_path):
+        """CRLF files: Hadoop's line reader strips \r\n, so reassembly
+        must rejoin embedded line breaks with the ORIGINAL terminator —
+        multi-line cell bytes must match the whole-file parse."""
+        import csv as _csv
+
+        from redisgraph_bulk_loader_spark.cache import release_pins
+        from redisgraph_bulk_loader_spark.config import Config
+        from redisgraph_bulk_loader_spark.plans.loader import (
+            _distributed_logical_cells,
+            _logical_cells,
+        )
+
+        content = ('name,desc\r\n'
+                   'a,"line one\r\nline two"\r\n'
+                   'b,plain\r\n')
+        p = tmp_path / "crlf.csv"
+        p.write_bytes(content.encode())
+        cfg = Config(quoting=_csv.QUOTE_MINIMAL)
+        whole = sorted((r.row_idx, tuple(r.cells))
+                       for r in _logical_cells(spark, str(p), cfg).collect())
+        dist = sorted(
+            (r.row_idx, tuple(r.cells))
+            for r in _distributed_logical_cells(spark, str(p), cfg).collect())
+        release_pins()
+        assert whole == dist
+        assert dict(whole)[1] == ("a", "line one\r\nline two")

@@ -950,3 +950,45 @@ class TestCatalogDeltaAppend:
         snaps = cat.snapshots("triples_stream")
         assert snaps[-1]["mode"] == "delta"
         assert cat.read("triples_stream").count() > n1
+
+
+class TestDeltaAfterRollback:
+    def test_delta_extends_rolled_back_state(self, spark, tmp_path):
+        """code-review r4: a delta written after rollback must extend
+        the CURRENT (rolled-back) snapshot via its explicit base
+        pointer, exactly like mode='append' — not resurrect the
+        physically-previous snapshot's rows."""
+        from redisgraph_bulk_loader_spark.materialize import GraphCatalog
+
+        cat = GraphCatalog(spark, str(tmp_path / "rbcat"))
+        mk = lambda lo, hi: spark.range(lo, hi).withColumnRenamed("id", "v")
+        cat.write("t", mk(0, 100), mode="overwrite")   # s0
+        cat.write("t", mk(100, 110), mode="append")    # s1: 110 rows
+        cat.rollback("t", 0)
+        cat.write("t", mk(200, 205), mode="delta")     # s2, base = s0
+        got = sorted(r.v for r in cat.read("t").collect())
+        assert got == list(range(100)) + list(range(200, 205))
+        # time travel: s1 still shows the pre-rollback append state
+        assert cat.read_at("t", 1).count() == 110
+        # expire keeps the chain (s0) because current s2 depends on it
+        cat.expire_snapshots("t", keep_last=1)
+        assert cat.read("t").count() == 105
+
+
+class TestPinScopeExceptionPath:
+    def test_scope_releases_on_exception(self, spark):
+        """code-review r4: a failure inside a PinScope must still
+        unpersist the scope's pins — a failed job must not strand
+        cached frames outside the registry."""
+        from redisgraph_bulk_loader_spark.cache import (
+            PinScope, pin, pinned_count,
+        )
+
+        df = spark.range(20)
+        with pytest.raises(RuntimeError, match="boom"):
+            with PinScope():
+                pinned = pin(df)
+                assert pinned.storageLevel.useMemory
+                raise RuntimeError("boom")
+        assert not pinned.storageLevel.useMemory
+        assert pinned_count() == 0
