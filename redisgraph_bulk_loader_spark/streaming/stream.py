@@ -86,6 +86,7 @@ def stream_documents_to_graph(
     checkpoint_dir: str,
     table: str = "triples_stream",
     trigger_once: bool = True,
+    compact_every: Optional[int] = None,
 ):
     """Streaming KG ingestion: a readStream of spans-documents flows
     through the SAME batch operators (extract_mentions ->
@@ -96,8 +97,11 @@ def stream_documents_to_graph(
     of the accumulated table (ADVICE r3). The commit log still gives
     incremental semantics: partial failure leaves prior batches
     applied, the checkpoint prevents reprocessing, and ``read`` unions
-    the delta chain. Run ``catalog.compact(table)`` periodically to
-    collapse a long chain. Canonicalization (connected components) is
+    the delta chain. ``compact_every=K`` collapses the chain into one
+    full snapshot whenever it exceeds K members (bounding the read
+    fan-in for a long-running stream); without it, run
+    ``catalog.compact(table)`` periodically yourself.
+    Canonicalization (connected components) is
     a corpus-global operation and stays a periodic batch job over the
     accumulated table — document-level extraction+linking is the
     per-batch increment.
@@ -124,6 +128,11 @@ def stream_documents_to_graph(
         )
         catalog.write(table, triples, mode="delta",
                       stage=f"stream_batch_{batch_id}")
+        if compact_every:
+            entry = catalog._manifest()["tables"][table]
+            chain = catalog._delta_chain(entry, entry["current"])
+            if len(chain) > compact_every:
+                catalog.compact(table)
 
     return stream_events_to_graph(
         docs_stream, apply, checkpoint_dir=checkpoint_dir,

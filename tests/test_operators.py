@@ -992,3 +992,42 @@ class TestPinScopeExceptionPath:
                 raise RuntimeError("boom")
         assert not pinned.storageLevel.useMemory
         assert pinned_count() == 0
+
+
+class TestStreamingAutoCompact:
+    def test_compact_every_bounds_chain(self, spark, tmp_path):
+        """compact_every=K collapses the delta chain once it exceeds K
+        members, bounding read fan-in for long-running streams."""
+        from redisgraph_bulk_loader_spark.link import build_alias_dim
+        from redisgraph_bulk_loader_spark.materialize import GraphCatalog
+        from redisgraph_bulk_loader_spark.sources import (
+            alias_table, synthesize_documents,
+        )
+        from redisgraph_bulk_loader_spark.streaming.stream import (
+            stream_documents_to_graph,
+        )
+
+        src = tmp_path / "acdocs"
+        src.mkdir()
+        cat = GraphCatalog(spark, str(tmp_path / "accat"))
+        dim = build_alias_dim(alias_table(spark))
+        schema = None
+        counts = []
+        for i in range(3):
+            synthesize_documents(spark, 15, seed=i, partitions=1) \
+                .coalesce(1).write.parquet(str(src / f"b{i}"))
+            if schema is None:
+                schema = spark.read.parquet(str(src / "b0")).schema
+            stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+            q = stream_documents_to_graph(
+                stream, dim, cat, checkpoint_dir=str(tmp_path / "acckpt"),
+                compact_every=2)
+            q.awaitTermination(120)
+            counts.append(cat.read("triples_stream").count())
+        assert counts[0] < counts[1] < counts[2]  # accumulates
+        entry = cat._manifest()["tables"]["triples_stream"]
+        chain = cat._delta_chain(entry, entry["current"])
+        assert len(chain) <= 2  # chain bounded by compaction
+        # compaction produced a full snapshot carrying all rows
+        modes = [s["mode"] for s in entry["snapshots"]]
+        assert "overwrite" in modes
