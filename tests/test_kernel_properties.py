@@ -109,3 +109,72 @@ def test_binary_encoding_tag_structure(s):
         assert data[1:-1].decode("utf-8") == cell.s
     elif tag == TAG_NULL:
         assert data == b"\x00"
+
+
+# ---------------------------------------------------------------------------
+# Distributed record-assembly scanner vs python csv (code-review r4)
+# ---------------------------------------------------------------------------
+
+_field = st.text(
+    alphabet=st.sampled_from(list('ab5," \n')), min_size=0, max_size=8,
+).filter(lambda s: "\\" not in s)
+
+
+@settings(max_examples=400, deadline=None)
+@given(st.lists(st.lists(_field, min_size=1, max_size=4),
+                min_size=1, max_size=6))
+def test_scan_quote_state_matches_csv_record_boundaries(rows):
+    """Driver-side property: segmenting physical lines into records via
+    _scan_quote_state (the distributed path's state machine, starting
+    outside quotes with no continuation) and csv-parsing each record
+    must reproduce exactly what csv.reader produces over the whole
+    text — for arbitrary combinations of quoted fields, embedded
+    newlines/commas, doubled quotes, and literal mid-field quotes."""
+    import csv as _csv
+    import io as _io
+
+    from redisgraph_bulk_loader_spark.plans.loader import _scan_quote_state
+
+    buf = _io.StringIO()
+    w = _csv.writer(buf, quoting=_csv.QUOTE_MINIMAL, lineterminator="\n")
+    for r in rows:
+        w.writerow(r)
+    # raw literal-quote lines a writer would never emit (unquoted
+    # fields containing quotes mid-field)
+    text = buf.getvalue() + 'x5" lit,tail"q\nplain,end\n'
+
+    expected = list(_csv.reader(
+        _io.StringIO(text), delimiter=",", skipinitialspace=True,
+        quoting=_csv.QUOTE_MINIMAL, escapechar=None,
+    ))
+
+    lines = text.split("\n")
+    if lines and lines[-1] == "":
+        lines.pop()
+    records, cur = [], []
+    in_q, dang = False, False
+    for line in lines:
+        if not (in_q or dang):
+            if cur:
+                records.append("\n".join(cur))
+            cur = [line]
+        else:
+            cur.append(line)
+        in_q, dang = _scan_quote_state(line, in_q, ",", None)
+    if cur:
+        records.append("\n".join(cur))
+
+    got = []
+    for rec in records:
+        parsed = list(_csv.reader(
+            _io.StringIO(rec), delimiter=",", skipinitialspace=True,
+            quoting=_csv.QUOTE_MINIMAL, escapechar=None,
+        ))
+        got.append(parsed[0] if parsed else [])
+    # csv.reader emits nothing for blank physical lines that form
+    # blank records; our per-record parse mirrors that with []
+    expected_padded = expected + [[]] * (len(got) - len(expected)) \
+        if len(got) > len(expected) else expected
+    got_nonempty = [g for g in got if g != []]
+    exp_nonempty = [e for e in expected_padded if e != []]
+    assert got_nonempty == exp_nonempty
