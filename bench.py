@@ -169,6 +169,18 @@ def main():
                 rows[name] = thunk()
                 runs[name].append(round(time.time() - t0, 3))
                 release_pins()
+        # Resume evidence (north_rule: a killed job reruns only missing
+        # stages): rebuilding against the LAST pass's completed catalog
+        # must skip extraction + writes, paying only the resume
+        # fingerprint scan + catalog reads.
+        t0 = time.time()
+        docs = spark.read.parquet(corpus_path)
+        catalog = GraphCatalog(
+            spark, os.path.join(out_root, f"cat{cat_counter[0]}"))
+        res = build_graph(spark, docs, alias_table(spark), catalog)
+        res["triples"].count()
+        extras["kg_pipeline_resume_sec"] = round(time.time() - t0, 3)
+        release_pins()
     finally:
         shutil.rmtree(out_root, ignore_errors=True)
 

@@ -214,6 +214,24 @@ def build_graph(
         if catalog is not None else None
     )
 
+    # Full-resume short circuit: if the FINAL stage already ran against
+    # this exact input and every output table exists, the whole build
+    # is a fingerprint scan + catalog reads — no linking, no
+    # canonicalization, no counts (north_rule: a killed-after-complete
+    # rerun recomputes nothing).
+    _tables = {"mentions": "mentions", "nodes": "nodes", "edges": "edges",
+               "triples": "triples", "registry": "node_registry",
+               "pred_counts": "pred_counts"}
+    if (catalog is not None and checkpoint_stages
+            and catalog.is_complete("build_graph", fp)
+            and all(catalog.exists(t) for t in _tables.values())):
+        results = {k: catalog.read(t) for k, t in _tables.items()}
+        results["labels"] = _coded_dim(results["nodes"], "label", "label",
+                                       "label_code")
+        results["rel_types"] = _coded_dim(results["triples"], "pred",
+                                          "rel_type", "rel_code")
+        return results
+
     # 1. span validation. Strict mode is inline (raise_error fused into
     # the doc_id projection — doc_id is load-bearing downstream, so
     # column pruning cannot drop the check): the validation rides the

@@ -189,3 +189,35 @@ class TestStrictSpans:
         res = build_graph(spark, docs.limit(20), alias_table(spark), None,
                           strict_spans=True)
         assert res["triples"].count() > 0
+
+
+class TestFullResumeShortCircuit:
+    def test_completed_build_rerun_reads_only(self, spark, tmp_path):
+        """A rerun over unchanged input against a fully-completed
+        catalog must short-circuit to catalog reads: identical results,
+        no new snapshots, no new lineage entries."""
+        from redisgraph_bulk_loader_spark.materialize import GraphCatalog
+        from redisgraph_bulk_loader_spark.plans import build_graph
+        from redisgraph_bulk_loader_spark.sources import (
+            alias_table, synthesize_documents,
+        )
+
+        docs = synthesize_documents(spark, 80, seed=11, partitions=2)
+        cat = GraphCatalog(spark, str(tmp_path / "fr_cat"))
+        first = build_graph(spark, docs, alias_table(spark), cat)
+        t1 = sorted(tuple(r) for r in first["triples"].collect())
+        n_lineage = len(cat.lineage())
+        snaps = {t: len(cat.snapshots(t))
+                 for t in ("mentions", "nodes", "edges", "triples")}
+
+        second = build_graph(spark, docs, alias_table(spark), cat)
+        t2 = sorted(tuple(r) for r in second["triples"].collect())
+        assert t1 == t2
+        assert sorted(tuple(r) for r in second["nodes"].collect()) == \
+            sorted(tuple(r) for r in first["nodes"].collect())
+        assert len(cat.lineage()) == n_lineage  # nothing re-ran
+        assert {t: len(cat.snapshots(t))
+                for t in snaps} == snaps  # nothing re-written
+        # derived registries still come back
+        assert second["labels"].count() == first["labels"].count()
+        assert second["rel_types"].count() == first["rel_types"].count()
