@@ -175,9 +175,18 @@ def _update_parser() -> argparse.ArgumentParser:
     ap.add_argument("graph", help="graph name / catalog directory")
     ap.add_argument("--redis-url", "-u", default=None,
                     help="accepted for compatibility; ignored (no Redis)")
-    ap.add_argument("--query", "-q", required=True,
+    ap.add_argument("--query", "-q", default=None,
                     help="SQL select list over the row variable, 0-based "
-                         "cells: e.g. \"row[0] AS ext_id, row[1] AS name\"")
+                         "cells: e.g. \"row[0] AS ext_id, row[1] AS name\" "
+                         "(required unless --custom is given)")
+    ap.add_argument("--custom", default=None, metavar="MODULE:FUNCTION",
+                    help="arbitrary-mutation escape hatch (the analogue "
+                         "of the reference accepting any Cypher fragment): "
+                         "import FUNCTION from MODULE and run it as "
+                         "fn(nodes, edges, rows) -> (nodes, edges) via "
+                         "run_custom_update (compile-time plan + schema "
+                         "validation before any write). rows is the "
+                         "--csv content as (row_idx, <var>: array<string>)")
     ap.add_argument("--variable-name", "-v", default="row")
     ap.add_argument("--csv", "-c", required=True, help="update CSV path")
     ap.add_argument("--separator", "-o", default=",")
@@ -233,6 +242,9 @@ def update_main(argv: Optional[list] = None) -> int:
         run_update_query,
     )
 
+    if args.query is None and args.custom is None:
+        print("one of --query or --custom is required", file=sys.stderr)
+        return 2
     out_root = args.output or f"{args.graph}_graph"
     spark = _session(args.master, f"rgbl-update-{args.graph}")
     catalog = GraphCatalog(spark, out_root)
@@ -252,6 +264,30 @@ def update_main(argv: Optional[list] = None) -> int:
         spark, args.csv, separator=args.separator,
         no_header=args.no_header, variable_name=args.variable_name,
     )
+    if args.custom:
+        import importlib
+
+        from .plans.updater import run_custom_update
+
+        mod_name, _, fn_name = args.custom.rpartition(":")
+        if not mod_name:
+            print("--custom must be MODULE:FUNCTION", file=sys.stderr)
+            return 2
+        fn = getattr(importlib.import_module(mod_name), fn_name)
+        edges = catalog.read("edges") if catalog.exists("edges") else None
+        t0 = time.time()
+        nodes2, edges2 = run_custom_update(existing, edges, rows, fn)
+        catalog.write("nodes", nodes2, stage="custom_update",
+                      input_fingerprint=None)
+        if edges2 is not None:
+            catalog.write("edges", edges2, stage="custom_update",
+                          input_fingerprint=None)
+        n = catalog.read("nodes").count()
+        ne = catalog.read("edges").count() if edges2 is not None else 0
+        print(f"Custom update of graph '{args.graph}' complete in "
+              f"{time.time() - t0:f} seconds ({n} nodes, {ne} relations)")
+        spark.stop()
+        return 0
     print(compose_update_query(args.query, args.variable_name))
     t0 = time.time()
     if args.edge:

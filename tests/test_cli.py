@@ -559,3 +559,55 @@ class TestSparkSubmitPyFiles:
         rows = {t: manifest["tables"][t]["snapshots"][-1]["rows"]
                 for t in ("nodes", "edges", "triples")}
         assert all(n > 0 for n in rows.values()), rows
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_EXAMPLE),
+                    reason="reference example fixtures unavailable")
+class TestCustomUpdateCLI:
+    def test_custom_detach_delete_via_cli(self, tmp_path):
+        """--custom MODULE:FUNCTION runs an arbitrary mutation through
+        run_custom_update end to end (insert -> custom DETACH-DELETE),
+        the CLI analogue of the reference accepting any Cypher."""
+        out = tmp_path / "cu_graph"
+        r = _run_cli("insert_main", [
+            "cu", "--master", "local[4]",
+            "--nodes", f"{REF_EXAMPLE}/Person.csv",
+            "--relations", f"{REF_EXAMPLE}/KNOWS.csv",
+            "--output", str(out),
+        ], cwd=str(tmp_path))
+        assert r.returncode == 0, r.stderr[-2000:]
+
+        (tmp_path / "my_update.py").write_text(
+            "import pyspark.sql.functions as F\n"
+            "def detach_delete(nodes, edges, rows):\n"
+            "    doomed = nodes.join(\n"
+            "        F.broadcast(rows.select(rows.row[0].alias('_k'))),\n"
+            "        nodes.key == F.col('_k'), 'semi')\n"
+            "    kept = nodes.join(doomed.select('internal_id'),\n"
+            "                      'internal_id', 'anti')\n"
+            "    ids = doomed.select(F.col('internal_id').alias('_d'))\n"
+            "    kept_e = (edges\n"
+            "        .join(F.broadcast(ids),\n"
+            "              edges.src_internal == ids._d, 'anti')\n"
+            "        .join(F.broadcast(ids),\n"
+            "              F.col('dst_internal') == ids._d, 'anti'))\n"
+            "    return kept, kept_e\n"
+        )
+        upd = tmp_path / "del.csv"
+        upd.write_text("name\nRoi Lipman\n")
+        r2 = _run_cli("update_main", [
+            "cu", "--master", "local[4]",
+            "--csv", str(upd),
+            "--custom", "my_update:detach_delete",
+            "--output", str(out),
+        ], cwd=str(tmp_path))
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        # 14 - 1 nodes; KNOWS had 13 edges, 6 touched Roi Lipman
+        assert "(13 nodes, 7 relations)" in r2.stdout
+
+    def test_requires_query_or_custom(self, tmp_path):
+        r = _run_cli("update_main", [
+            "g", "--csv", "/dev/null",
+        ], cwd=str(tmp_path))
+        assert r.returncode == 2
+        assert "one of --query or --custom" in r.stderr
