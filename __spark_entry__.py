@@ -353,6 +353,23 @@ def _q_media_features(spark, sf_dir):
     )
 
 
+def _q_corpus_curation(spark, sf_dir):
+    """Composed training-data curation pass (quality gate AND language
+    gate AND token bounds AND exact-dedup survivorship) in one plan —
+    the filter chain a pretraining pipeline actually runs. Every gate
+    is individually oracled elsewhere; this entry oracles their
+    CONJUNCTION, including the survivor semi-join."""
+    from redisgraph_bulk_loader_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, min_quality=0.5, languages=("latin",),
+        min_tokens=5, max_tokens=10_000, dedup="exact",
+    )
+
+
 def _q_media_near_dup(spark, sf_dir):
     """Frame-hash Jaccard near-dup over media with planted duplicate
     groups (VERDICT r3 #8): for every synthesized audio object, an
@@ -562,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "media_features": _q_media_features,
         "media_near_dup": _q_media_near_dup,
+        "corpus_curation": _q_corpus_curation,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
     }
 
@@ -1079,6 +1097,46 @@ def oracle_sql() -> dict[str, str]:
                         ELSE LEAST(GREATEST(dur_ms // 1000, 1), 32)
                    END AS n_frames
             FROM derived
+        """,
+        "corpus_curation": rf"""
+            WITH scored AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END
+                  AS n_tokens,
+                ROUND(
+                  0.4 * (CASE WHEN length(trim(text)) > 0
+                         THEN CAST(length(regexp_replace(trim(text), '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                              / length(trim(text))
+                         ELSE 0.0 END)
+                  + 0.3 * LEAST(length(trim(text)) / 500.0, 1.0)
+                  + 0.3 * LEAST(
+                      len(list_intersect(
+                            string_split_regex(lower(trim(text)), '\s+'),
+                            {_STOPWORDS_SQL})) / 4.0, 1.0),
+                  6) AS quality,
+                CASE
+                  WHEN CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1) > 0.2 THEN 'zh'
+                  WHEN CAST(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1) > 0.2 THEN 'ru'
+                  WHEN CAST(length(regexp_replace(text, '[^Ͱ-Ͽ]', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1) > 0.2 THEN 'el'
+                  ELSE 'latin'
+                END AS lang_guess
+              FROM documents
+            ),
+            survivors AS (
+              SELECT doc_id FROM (
+                SELECT doc_id, ROW_NUMBER() OVER (
+                  PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                  ORDER BY doc_id) AS rk
+                FROM documents) WHERE rk = 1
+            )
+            SELECT s.doc_id, s.n_tokens, s.quality, s.lang_guess
+            FROM scored s SEMI JOIN survivors v ON s.doc_id = v.doc_id
+            WHERE s.quality >= 0.5 AND s.lang_guess = 'latin'
+              AND s.n_tokens BETWEEN 5 AND 10000
         """,
         "media_near_dup": """
             WITH refs AS (

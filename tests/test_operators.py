@@ -1031,3 +1031,51 @@ class TestStreamingAutoCompact:
         # compaction produced a full snapshot carrying all rows
         modes = [s["mode"] for s in entry["snapshots"]]
         assert "overwrite" in modes
+
+
+class TestCorpusCuration:
+    def test_gates_and_survivorship(self, spark):
+        from redisgraph_bulk_loader_spark.operators.curation import (
+            curate_corpus,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog and runs"),
+                (2, "the quick brown fox jumps over the lazy dog and runs"),
+                (3, "tiny"),                      # fails min_tokens
+                (4, "и было это по-русски written mostly русскими буквами здесь"),
+                (5, "a good long document with many of the common stop "
+                    "words that is also quite readable and plain"),
+            ],
+            "doc_id long, text string",
+        )
+        out = curate_corpus(docs, min_quality=0.3, min_tokens=5,
+                            max_tokens=100, dedup="exact")
+        kept = sorted(r.doc_id for r in out.collect())
+        # 2 is an exact dup of 1 (loses survivorship); 3 too short;
+        # 4 not latin; 1 and 5 pass every gate
+        assert kept == [1, 5]
+        cols = out.columns
+        assert cols == ["doc_id", "n_tokens", "quality", "lang_guess"]
+
+    def test_minhash_mode_drops_near_dups(self, spark):
+        from redisgraph_bulk_loader_spark.operators.curation import (
+            curate_corpus,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta eta theta"),
+                (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near dup
+                (3, "one two three four five six seven eight nine ten"),
+            ],
+            "doc_id long, text string",
+        )
+        out = curate_corpus(docs, min_quality=0.0, min_tokens=1,
+                            max_tokens=100, dedup="minhash",
+                            dedup_threshold=0.5)
+        assert sorted(r.doc_id for r in out.collect()) == [1, 3]
+        none = curate_corpus(docs, min_quality=0.0, min_tokens=1,
+                             max_tokens=100, dedup="none")
+        assert none.count() == 3
