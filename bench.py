@@ -180,6 +180,11 @@ def main():
         res = build_graph(spark, docs, alias_table(spark), catalog)
         res["triples"].count()
         extras["kg_pipeline_resume_sec"] = round(time.time() - t0, 3)
+        # per-stage write walls from the last full pass's commit log —
+        # the in-artifact decomposition of where kg_pipeline time goes
+        extras["kg_stage_walls"] = {
+            rec["stage"]: rec["wall_sec"] for rec in catalog.lineage()
+        }
         release_pins()
     finally:
         shutil.rmtree(out_root, ignore_errors=True)

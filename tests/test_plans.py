@@ -231,3 +231,26 @@ class TestScalePlanAudits:
         plan = plan_of(df)
         read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
         assert "doc_id" in read_schema and "text" not in read_schema
+
+
+class TestCurationPlanShape:
+    def test_text_never_rides_dedup_shuffle(self, spark):
+        """curate_corpus: the survivor gate joins on the id column only
+        — no Exchange in the plan may carry the text column, and the
+        scored side's gates are one scan (no join before the semi)."""
+        from redisgraph_bulk_loader_spark.operators.curation import (
+            curate_corpus,
+        )
+
+        rows = [(i, f"alpha beta gamma delta {i % 5} epsilon zeta")
+                for i in range(40)]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = curate_corpus(docs, min_quality=0.0, min_tokens=1,
+                            max_tokens=100, dedup="exact")
+        out.collect()
+        p = plan_of(out)
+        for line in p.splitlines():
+            if "Exchange" in line and "text" in line:
+                raise AssertionError(f"text rides a shuffle: {line}")
+        assert "SemiJoin" in p.replace("LeftSemi", "SemiJoin") or \
+            "LeftSemi" in p
