@@ -1126,12 +1126,20 @@ def oracle_sql() -> dict[str, str]:
                 END AS lang_guess
               FROM documents
             ),
+            passing AS (
+              SELECT doc_id FROM scored
+              WHERE quality >= 0.5 AND lang_guess = 'latin'
+                AND n_tokens BETWEEN 5 AND 10000
+            ),
+            -- survivorship over the gate-PASSING subset
+            -- (filter-then-dedup, matching curate_corpus)
             survivors AS (
               SELECT doc_id FROM (
-                SELECT doc_id, ROW_NUMBER() OVER (
-                  PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
-                  ORDER BY doc_id) AS rk
-                FROM documents) WHERE rk = 1
+                SELECT d.doc_id, ROW_NUMBER() OVER (
+                  PARTITION BY md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g'))
+                  ORDER BY d.doc_id) AS rk
+                FROM documents d SEMI JOIN passing p ON d.doc_id = p.doc_id
+              ) WHERE rk = 1
             )
             SELECT s.doc_id, s.n_tokens, s.quality, s.lang_guess
             FROM scored s SEMI JOIN survivors v ON s.doc_id = v.doc_id

@@ -175,18 +175,19 @@ def _update_parser() -> argparse.ArgumentParser:
     ap.add_argument("graph", help="graph name / catalog directory")
     ap.add_argument("--redis-url", "-u", default=None,
                     help="accepted for compatibility; ignored (no Redis)")
-    ap.add_argument("--query", "-q", default=None,
-                    help="SQL select list over the row variable, 0-based "
-                         "cells: e.g. \"row[0] AS ext_id, row[1] AS name\" "
-                         "(required unless --custom is given)")
-    ap.add_argument("--custom", default=None, metavar="MODULE:FUNCTION",
-                    help="arbitrary-mutation escape hatch (the analogue "
-                         "of the reference accepting any Cypher fragment): "
-                         "import FUNCTION from MODULE and run it as "
-                         "fn(nodes, edges, rows) -> (nodes, edges) via "
-                         "run_custom_update (compile-time plan + schema "
-                         "validation before any write). rows is the "
-                         "--csv content as (row_idx, <var>: array<string>)")
+    what = ap.add_mutually_exclusive_group(required=True)
+    what.add_argument("--query", "-q", default=None,
+                      help="SQL select list over the row variable, 0-based "
+                           "cells: e.g. \"row[0] AS ext_id, row[1] AS name\"")
+    what.add_argument("--custom", default=None, metavar="MODULE:FUNCTION",
+                      help="arbitrary-mutation escape hatch (the analogue "
+                           "of the reference accepting any Cypher "
+                           "fragment): import FUNCTION from MODULE and run "
+                           "it as fn(nodes, edges, rows) -> (nodes, edges) "
+                           "via run_custom_update (compile-time plan + "
+                           "schema validation before any write). rows is "
+                           "the --csv content as "
+                           "(row_idx, <var>: array<string>)")
     ap.add_argument("--variable-name", "-v", default="row")
     ap.add_argument("--csv", "-c", required=True, help="update CSV path")
     ap.add_argument("--separator", "-o", default=",")
@@ -242,9 +243,6 @@ def update_main(argv: Optional[list] = None) -> int:
         run_update_query,
     )
 
-    if args.query is None and args.custom is None:
-        print("one of --query or --custom is required", file=sys.stderr)
-        return 2
     out_root = args.output or f"{args.graph}_graph"
     spark = _session(args.master, f"rgbl-update-{args.graph}")
     catalog = GraphCatalog(spark, out_root)
@@ -273,14 +271,24 @@ def update_main(argv: Optional[list] = None) -> int:
         if not mod_name:
             print("--custom must be MODULE:FUNCTION", file=sys.stderr)
             return 2
-        fn = getattr(importlib.import_module(mod_name), fn_name)
+        try:
+            fn = getattr(importlib.import_module(mod_name), fn_name)
+        except (ImportError, AttributeError) as e:
+            print(f"--custom target '{args.custom}' not importable: {e}",
+                  file=sys.stderr)
+            return 2
         edges = catalog.read("edges") if catalog.exists("edges") else None
         t0 = time.time()
         nodes2, edges2 = run_custom_update(existing, edges, rows, fn)
+        # preserve each table's established layout (insert partitions
+        # nodes by label and edges by rel_type; a custom rewrite must
+        # not silently drop the partitioning)
         catalog.write("nodes", nodes2, stage="custom_update",
+                      partition_by=catalog.current_partition_by("nodes"),
                       input_fingerprint=None)
         if edges2 is not None:
             catalog.write("edges", edges2, stage="custom_update",
+                          partition_by=catalog.current_partition_by("edges"),
                           input_fingerprint=None)
         n = catalog.read("nodes").count()
         ne = catalog.read("edges").count() if edges2 is not None else 0
@@ -299,8 +307,12 @@ def update_main(argv: Optional[list] = None) -> int:
             key_col=key_cols[0], dest_mode=args.dest_mode,
             dedup_edges=args.merge_edges,
         )
-        catalog.write("nodes", nodes2, stage="update", input_fingerprint=None)
-        catalog.write("edges", edges2, stage="update", input_fingerprint=None)
+        catalog.write("nodes", nodes2, stage="update",
+                      partition_by=catalog.current_partition_by("nodes"),
+                      input_fingerprint=None)
+        catalog.write("edges", edges2, stage="update",
+                      partition_by=catalog.current_partition_by("edges"),
+                      input_fingerprint=None)
         n = catalog.read("nodes").count()
         ne = catalog.read("edges").count()
         print(f"Update of graph '{args.graph}' complete in "
@@ -323,7 +335,9 @@ def update_main(argv: Optional[list] = None) -> int:
             key_cols=key_cols,
             max_rows_per_batch=args.max_token_size * 1000,
         )
-    catalog.write("nodes", merged, stage="update", input_fingerprint=None)
+    catalog.write("nodes", merged, stage="update",
+                  partition_by=catalog.current_partition_by("nodes"),
+                  input_fingerprint=None)
     n = catalog.read("nodes").count()
     print(f"Update of graph '{args.graph}' complete in "
           f"{time.time() - t0:f} seconds ({n} nodes)")

@@ -352,6 +352,31 @@ class GraphCatalog:
     def requested_indexes(self) -> List[dict]:
         return list(self._manifest().get("requested_indexes", []))
 
+    def current_partition_by(self, table: str) -> Optional[List[str]]:
+        """The current snapshot's partition columns (None when the
+        table is unpartitioned or has no snapshots) — callers rewriting
+        a table should preserve its layout."""
+        entry = self._manifest()["tables"].get(table)
+        if not entry or "current" not in entry:
+            return None
+        return (entry["snapshots"][entry["current"]].get("partition_by")
+                or None)
+
+    def delta_chain_length(self, table: str) -> int:
+        """Members composing the current snapshot (1 for a full
+        snapshot; >1 while a delta chain is open)."""
+        entry = self._manifest()["tables"][table]
+        return len(self._delta_chain(entry, entry["current"]))
+
+    def compact_if_chain_exceeds(self, table: str, max_chain: int) -> bool:
+        """Collapse the delta chain into one full snapshot when it has
+        more than ``max_chain`` members; returns whether compaction
+        ran. The chain-bounding policy for streaming writers."""
+        if self.delta_chain_length(table) > max_chain:
+            self.compact(table)
+            return True
+        return False
+
     # -- maintenance (Iceberg expire_snapshots / rewrite_data_files) -------
     def expire_snapshots(self, table: str, *, keep_last: int = 1) -> int:
         """Delete the data files of all but the newest ``keep_last``
@@ -397,9 +422,8 @@ class GraphCatalog:
         snapshot; time travel to the uncompacted one still works."""
         n = target_files or self.spark.sparkContext.defaultParallelism
         df = self.read(table)
-        entry = self._manifest()["tables"][table]
-        part_by = entry["snapshots"][entry["current"]].get("partition_by") or None
-        self.write(table, df.repartition(n), partition_by=part_by,
+        self.write(table, df.repartition(n),
+                   partition_by=self.current_partition_by(table),
                    stage=f"compact_{table}")
 
     def materialize_index(self, table: str, label: str, prop: str) -> None:
@@ -412,8 +436,7 @@ class GraphCatalog:
         of Iceberg's ``WRITE ORDERED BY``."""
         df = self.read(table)
         key = F.get_json_object(F.col("props_json"), f"$.{prop}")
-        entry = self._manifest()["tables"][table]
-        part_by = entry["snapshots"][entry["current"]].get("partition_by") or None
+        part_by = self.current_partition_by(table)
         sorted_df = (
             df.repartition(F.col("label"))
             .sortWithinPartitions(F.when(F.col("label") == label, key))

@@ -10,7 +10,14 @@ plan:
     keep doc iff  quality_score >= min_quality
               and language_id in languages
               and min_tokens <= token_count <= max_tokens
-              and doc is its own dedup representative
+              and doc is the dedup representative AMONG gate-passers
+
+Ordering is filter-then-dedup: survivorship is computed over the
+documents that already passed the scalar gates. The other order
+silently loses content — a near-dup cluster whose min-id
+representative fails a gate would drop the whole cluster even when a
+gate-passing member exists (code-review r4). Filter-first also shrinks
+the dedup input, which is the cheaper order at scale.
 
 Shape at 100 TB: the text functions ride the parquet scan inside
 whole-stage codegen (one pass, no shuffle); the only shuffle is the
@@ -49,7 +56,8 @@ def curate_corpus(
     ``dedup='exact'`` keeps the min-id survivor per normalized content
     group (one shuffle); ``dedup='minhash'`` keeps near-dup cluster
     representatives via dedup_assignments (the 100 TB fuzzy path);
-    ``dedup='none'`` skips the survivor gate."""
+    ``dedup='none'`` skips the survivor gate. Survivorship runs over
+    the gate-passing subset (filter-then-dedup; see module doc)."""
     scored = docs.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
@@ -62,11 +70,12 @@ def curate_corpus(
     )
     if dedup == "none":
         return scored
+    passing = docs.join(scored.select(id_col), id_col, "semi")
     if dedup == "exact":
-        survivors = exact_dedup(docs, id_col, text_col).select(id_col)
+        survivors = exact_dedup(passing, id_col, text_col).select(id_col)
     elif dedup == "minhash":
         assigned = dedup_assignments(
-            docs, id_col, text_col, threshold=dedup_threshold,
+            passing, id_col, text_col, threshold=dedup_threshold,
             method="minhash", portable=portable,
         )
         survivors = assigned.filter(

@@ -129,10 +129,7 @@ def stream_documents_to_graph(
         catalog.write(table, triples, mode="delta",
                       stage=f"stream_batch_{batch_id}")
         if compact_every:
-            entry = catalog._manifest()["tables"][table]
-            chain = catalog._delta_chain(entry, entry["current"])
-            if len(chain) > compact_every:
-                catalog.compact(table)
+            catalog.compact_if_chain_exceeds(table, compact_every)
 
     return stream_events_to_graph(
         docs_stream, apply, checkpoint_dir=checkpoint_dir,

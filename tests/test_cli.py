@@ -610,4 +610,4 @@ class TestCustomUpdateCLI:
             "g", "--csv", "/dev/null",
         ], cwd=str(tmp_path))
         assert r.returncode == 2
-        assert "one of --query or --custom" in r.stderr
+        assert "one of the arguments" in r.stderr  # argparse group

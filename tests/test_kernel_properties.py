@@ -171,10 +171,9 @@ def test_scan_quote_state_matches_csv_record_boundaries(rows):
             quoting=_csv.QUOTE_MINIMAL, escapechar=None,
         ))
         got.append(parsed[0] if parsed else [])
-    # csv.reader emits nothing for blank physical lines that form
-    # blank records; our per-record parse mirrors that with []
-    expected_padded = expected + [[]] * (len(got) - len(expected)) \
-        if len(got) > len(expected) else expected
+    # csv.reader emits nothing for blank physical lines; our
+    # per-record parse yields [] for blank records — compare the
+    # non-blank rows (the blank-insensitive property under test)
     got_nonempty = [g for g in got if g != []]
-    exp_nonempty = [e for e in expected_padded if e != []]
+    exp_nonempty = [e for e in expected if e != []]
     assert got_nonempty == exp_nonempty

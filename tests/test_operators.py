@@ -1079,3 +1079,27 @@ class TestCorpusCuration:
         none = curate_corpus(docs, min_quality=0.0, min_tokens=1,
                              max_tokens=100, dedup="none")
         assert none.count() == 3
+
+    def test_cluster_content_survives_when_rep_fails_gate(self, spark):
+        """code-review r4: filter-then-dedup — when a near-dup
+        cluster's min-id member fails a gate, a gate-passing member
+        must survive instead of the whole cluster's content vanishing."""
+        from redisgraph_bulk_loader_spark.operators.curation import (
+            curate_corpus,
+        )
+
+        docs = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta"),              # fails min_tokens=5
+                (2, "alpha beta gamma delta epsilon"),      # near-dup of 1, passes
+                (3, "one two three four five six seven"),
+            ],
+            "doc_id long, text string",
+        )
+        out = curate_corpus(docs, min_quality=0.0, min_tokens=5,
+                            max_tokens=100, dedup="minhash",
+                            dedup_threshold=0.5)
+        kept = sorted(r.doc_id for r in out.collect())
+        # doc 1 fails the token gate; doc 2 (its near-dup) must still
+        # survive — dedup runs over gate-passers only
+        assert kept == [2, 3]
