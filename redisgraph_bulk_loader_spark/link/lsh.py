@@ -63,8 +63,11 @@ def lsh_candidate_pairs(
 
     from ..cache import pin
 
+    from ..operators.skew import ensure_min_parallelism
+
     def prep(df, key, text, side):
-        sigs = minhash_signatures(df, text, num_hashes=num_hashes, shingle_n=shingle_n)
+        sigs = minhash_signatures(ensure_min_parallelism(df), text,
+                                  num_hashes=num_hashes, shingle_n=shingle_n)
         # pinned via the cache registry: released by the caller's
         # PinScope once the candidate result is materialized, or by
         # release_pins() in a long-lived session

@@ -58,7 +58,9 @@ def ngram_jaccard_pairs(
     intersection, or jaccard_sim is underestimated) — at web scale one
     universal shingle would otherwise produce a quadratic reducer; this
     bound is the standard guard."""
-    sh = df.select(
+    from .skew import ensure_min_parallelism
+
+    sh = ensure_min_parallelism(df).select(
         F.col(id_col).alias("_id"),
         F.explode(word_shingles(F.col(text_col), n)).alias("_sh"),
     ).distinct()
@@ -103,8 +105,9 @@ def minhash_lsh_dedup_pairs(
     candidate set (algorithm twin — banding misses included)."""
     rows = num_hashes // bands
     from ..cache import pin
+    from .skew import ensure_min_parallelism
 
-    base = pin(df.select(
+    base = pin(ensure_min_parallelism(df).select(
         F.col(id_col).alias("_id"),
         word_shingles(F.col(text_col), n).alias("_sh"),
     ))
@@ -151,9 +154,12 @@ def simhash_dup_pairs(
     band — join per band, verify full hamming distance.
     ``portable_hash`` uses the md5-prefix token hash so a DuckDB twin
     can reproduce the exact pair set (oracle mode)."""
+    from .skew import ensure_min_parallelism
+
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     hashed = simhash_df(
-        df.select(F.col(id_col).alias("_id"), toks.alias("_toks")),
+        ensure_min_parallelism(df).select(
+            F.col(id_col).alias("_id"), toks.alias("_toks")),
         ["_id"],
         "_toks",
         portable=portable_hash,

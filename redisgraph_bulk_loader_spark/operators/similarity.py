@@ -123,8 +123,10 @@ def ann_self_join_pairs(
     rows_per_band = bits // bands
     mask = (1 << rows_per_band) - 1
 
+    from .skew import ensure_min_parallelism
+
     sig = _signature_udf(planes)
-    base = corpus.select(
+    base = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
     ).withColumn("_sig", sig(F.col("_v")))
     banded = base.select(
@@ -261,8 +263,10 @@ def ivf_topk(
         cells = [r["_cell"] for r in cent_rows]
         cents = [list(r["_c"]) for r in cent_rows]
 
+    from .skew import ensure_min_parallelism
+
     cell_of = _nearest_cell_udf(cells, cents)
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("_cell", cell_of(F.col("_cv")))
     q = F.broadcast(
@@ -304,8 +308,10 @@ def lsh_bucketed_topk(
     when probe_bits>0); exact cosine re-ranks."""
     planes = _random_planes(dim, bits, seed)
 
+    from .skew import ensure_min_parallelism
+
     sig = _signature_udf(planes)
-    c = corpus.select(
+    c = ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("_bucket", sig(F.col("_cv")))
     qbase = queries.select(

@@ -21,6 +21,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_min_parallelism(df: DataFrame, target: int = None) -> DataFrame:
+    """Repartition ``df`` up to ``target`` partitions (default: the
+    session's defaultParallelism) when the source provides fewer — a
+    small parquet table often arrives as ONE file/partition, and any
+    compute-heavy projection over it (shingling, hashing, signatures)
+    would otherwise run single-task regardless of cluster size. At
+    production scale the source already has many partitions and this is
+    a no-op (no shuffle added). Plan-only check; triggers no job."""
+    sc = df.sparkSession.sparkContext
+    target = target or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def two_phase_count(
     df: DataFrame, key_cols: List[str], *, salt: int = 16, count_col: str = "n"
 ) -> DataFrame:
