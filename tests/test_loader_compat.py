@@ -563,3 +563,39 @@ class TestDistributedQuotedParse:
         release_pins()
         assert whole == dist
         assert dict(whole)[1] == ("a", "line one\r\nline two")
+
+
+class TestScriptFailureParity:
+    """Reference test_script_failures / test_invalid_inputs
+    (test_bulk_loader.py:359-419, test_bulk_update.py:388-411): invalid
+    inputs fail with the reference's messages, before or at load."""
+
+    def test_relation_file_with_one_column_fails(self, spark, tmp_path):
+        p = tmp_path / "n.csv"
+        p.write_text("id,nodename\n0,a\n")
+        r = tmp_path / "r.csv"
+        r.write_text("src\n0\n")
+        with pytest.raises(Exception, match="at least 2"):
+            bulk_insert(spark, [(str(p), None)], [(str(r), None)])
+
+    def test_unknown_endpoint_names_the_identifier(self, spark, tmp_path):
+        """The failure message carries the offending identifier, like
+        the reference's 'fakeidentifier' assertion."""
+        p = tmp_path / "n.csv"
+        p.write_text("id,nodename\n0,a\n")
+        r = tmp_path / "r.csv"
+        r.write_text("src,dest\n0,fakeidentifier\n")
+        with pytest.raises(Exception, match="fakeidentifier"):
+            bulk_insert(spark, [(str(p), None)], [(str(r), None)])
+
+    def test_update_missing_csv_fails_nonzero(self, spark, tmp_path):
+        """bulk_update with a non-existent CSV fails at read time
+        (reference: 'No such file')."""
+        from redisgraph_bulk_loader_spark.plans.updater import (
+            read_update_csv,
+        )
+
+        with pytest.raises(Exception, match="does not exist"):
+            # zipWithIndex resolves partitions eagerly, so the missing
+            # path fails right at read time — before any query runs
+            read_update_csv(spark, str(tmp_path / "fake_file.csv")).count()
