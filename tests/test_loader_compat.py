@@ -599,3 +599,45 @@ class TestScriptFailureParity:
             # zipWithIndex resolves partitions eagerly, so the missing
             # path fails right at read time — before any query runs
             read_update_csv(spark, str(tmp_path / "fake_file.csv")).count()
+
+
+class TestLargeQuotedFileGate:
+    def test_real_gate_triggers_distributed_parse(self, spark, tmp_path):
+        """A >32MB quoted CSV takes the distributed quote-state path
+        through the REAL size gate (no monkeypatch) and produces the
+        correct row count, ids in record order, and intact multi-line
+        cells."""
+        import csv as _csv
+        import json as _json
+
+        from redisgraph_bulk_loader_spark.config import Config
+        from redisgraph_bulk_loader_spark.plans.loader import (
+            WHOLE_FILE_MAX_BYTES, _input_size_bytes, bulk_insert,
+        )
+
+        p = tmp_path / "big_gate.csv"
+        n = 120_000
+        with open(p, "w", newline="") as f:
+            w = _csv.writer(f, quoting=_csv.QUOTE_MINIMAL,
+                            lineterminator="\n")
+            w.writerow(["name", "desc"])
+            filler = "x" * 300
+            for i in range(n):
+                if i % 50 == 0:
+                    d = f"multi {i}\nline {i}\n{filler}"
+                else:
+                    d = f"plain {i} {filler}"
+                w.writerow([f"k{i:07d}", d])
+        assert _input_size_bytes(spark, str(p)) > WHOLE_FILE_MAX_BYTES
+        g = bulk_insert(spark, [(str(p), "Big")], (),
+                        Config(quoting=_csv.QUOTE_MINIMAL))
+        nodes = g.nodes
+        assert nodes.count() == n
+        rows = {r.key: (r.internal_id, r.props_json)
+                for r in nodes.filter(
+                    nodes.key.isin("k0000000", "k0000050", "k0119999")
+                ).collect()}
+        assert rows["k0000000"][0] == 0
+        assert rows["k0119999"][0] == n - 1
+        d0 = _json.loads(_json.loads(rows["k0000050"][1])["desc"])
+        assert d0.startswith("multi 50\nline 50\n")
