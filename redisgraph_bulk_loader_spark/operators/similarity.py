@@ -238,6 +238,12 @@ def ivf_topk(
     assignment is one numpy matmul per batch."""
     from pyspark.sql import Window as W
 
+    from .skew import ensure_min_parallelism
+
+    # every Lloyd iteration and the final cell assignment run an Arrow
+    # matmul over the corpus — spread a single-file source first
+    corpus = ensure_min_parallelism(corpus)
+
     # init: the n_centroids lowest-id vectors, re-keyed 0..m-1
     init_rows = (
         corpus.select(id_col, vec_col).orderBy(id_col)
@@ -263,10 +269,8 @@ def ivf_topk(
         cells = [r["_cell"] for r in cent_rows]
         cents = [list(r["_c"]) for r in cent_rows]
 
-    from .skew import ensure_min_parallelism
-
     cell_of = _nearest_cell_udf(cells, cents)
-    c = ensure_min_parallelism(corpus).select(
+    c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("_cell", cell_of(F.col("_cv")))
     q = F.broadcast(
