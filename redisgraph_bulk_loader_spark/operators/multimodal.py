@@ -174,6 +174,7 @@ def media_near_dup_pairs(
     *,
     every_ms: int = 1000,
     threshold: float = 0.5,
+    max_frame_freq: int = 10000,
 ) -> DataFrame:
     """Near-duplicate media by frame-hash Jaccard: sample frames
     (1->N), fingerprint each frame JVM-side (sha2 over the frame
@@ -183,19 +184,33 @@ def media_near_dup_pairs(
     never-cross-join shape as ngram_jaccard_pairs, over frames instead
     of shingles. Returns (ref_a, ref_b, jaccard_sim), ref_a < ref_b.
 
+    Digests appearing in more than ``max_frame_freq`` media are dropped
+    BEFORE both the self-join and the size counts (the same guard as
+    ``ngram_jaccard_pairs.max_shingle_freq``): a ubiquitous frame —
+    solid black, a network-logo bumper — shared by k videos would
+    otherwise put all k in one digest bucket and emit k^2/2 join rows.
+    Sizes must come from the same filtered frame set as the
+    intersection or jaccard_sim is underestimated.
+
     A real decoder would emit perceptual frame hashes (pHash) instead
     of byte digests; the join/aggregation shape is identical."""
     from ..cache import pin
 
     frames = sample_frames(media, every_ms=every_ms)
     # Four consumers reference the fingerprint frame (both sizes joins
-    # + both self-join sides): pin it, or the decode+hash+distinct
-    # subtree re-executes per reference. Registered with the cache
-    # registry — release_pins() reclaims it in long-lived sessions.
-    fp = pin(frames.select(
+    # + both self-join sides + the frequency agg): pin it, or the
+    # decode+hash+distinct subtree re-executes per reference.
+    # Registered with the cache registry — release_pins() reclaims it
+    # in long-lived sessions.
+    fp_all = pin(frames.select(
         F.col("media_ref").alias("_ref"),
         F.sha2(F.col("frame_payload"), 256).alias("_fh"),
     ).distinct())
+    freq = fp_all.groupBy("_fh").agg(F.count("*").alias("_f"))
+    fp = fp_all.join(
+        F.broadcast(freq.filter(F.col("_f") > max_frame_freq)),
+        "_fh", "left_anti",
+    )
     sizes = fp.groupBy("_ref").agg(F.count("*").alias("_sz"))
     inter = (
         fp.alias("a")

@@ -116,6 +116,41 @@ class TestMediaNearDup:
         else:
             assert ("m1", "m3") not in pairs
 
+    def test_hot_frame_cap_bounds_pairs(self, spark):
+        """A ubiquitous frame (network-logo bumper) shared by k media
+        must not produce k^2/2 join rows: with max_frame_freq below k
+        the hot digest is dropped from BOTH the self-join and the size
+        counts, so the pair set collapses from C(k,2) to zero while the
+        remaining (unique) frames still count toward sizes."""
+        from redisgraph_bulk_loader_spark.operators.multimodal import (
+            media_near_dup_pairs,
+        )
+
+        k = 20
+        common = bytes(range(8))
+        rows = []
+        for i in range(k):
+            # dur=2000ms -> frames at payload[0:8] (shared) and
+            # payload[7:15] (unique per media via the i-dependent tail)
+            payload = common + bytes([i, 255 - i]) * 8
+            rows.append((f"m{i:02d}", "video/fake", None, None, 2000, payload))
+        media = spark.createDataFrame(
+            rows,
+            "media_ref string, mime string, width int, height int, "
+            "duration_ms int, payload binary",
+        )
+        # uncapped: the shared frame makes every pair a candidate —
+        # C(20,2)=190 pairs at jaccard 1/(2+2-1)
+        uncapped = media_near_dup_pairs(media, threshold=0.1).collect()
+        assert len(uncapped) == k * (k - 1) // 2
+        assert all(abs(r.jaccard_sim - 1 / 3) < 1e-9 for r in uncapped)
+        # capped below k: hot digest dropped before join AND sizes —
+        # no candidates survive at all
+        capped = media_near_dup_pairs(
+            media, threshold=0.1, max_frame_freq=k - 1
+        ).collect()
+        assert capped == []
+
     def test_payloads_not_in_shuffle(self, spark):
         """The pair plan must shuffle digests, never frame payloads."""
         from redisgraph_bulk_loader_spark.operators.multimodal import (

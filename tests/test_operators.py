@@ -480,6 +480,54 @@ class TestDedupAssignments:
     def test_chain_clusters_and_identity(self, spark):
         assert self._run(spark) == self._EXPECT
 
+    def test_exact_collapse_bounds_banding(self, spark):
+        """Planted boilerplate group: k identical copies must not ride
+        the band join as k members (O(k^2 * bands) candidates). The
+        collapse pre-merges them to one representative, the band join
+        sees exactly one row for the group, and the fan-out still
+        assigns every copy to the min id — byte-identical to the
+        un-collapsed path's answer."""
+        from redisgraph_bulk_loader_spark.cache import release_pins
+        from redisgraph_bulk_loader_spark.operators.dedup import (
+            dedup_assignments,
+            exact_dedup,
+            minhash_lsh_dedup_pairs,
+        )
+
+        k = 300
+        rows = (
+            [(f"c{i:04d}", "the same boilerplate page content here")
+             for i in range(k)]
+            + [("n0", "alpha beta gamma delta epsilon zeta"),
+               ("n1", "alpha beta gamma delta epsilon eta"),
+               ("u0", "completely different words entirely here now")]
+        )
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        on = dedup_assignments(docs, "doc_id", "text", threshold=0.5,
+                               collapse_exact=True)
+        off = dedup_assignments(docs, "doc_id", "text", threshold=0.5,
+                                collapse_exact=False)
+        got_on = sorted((r.doc_id, r.rep_id) for r in on.collect())
+        got_off = sorted((r.doc_id, r.rep_id) for r in off.collect())
+        assert got_on == got_off
+        m = dict(got_on)
+        assert all(m[f"c{i:04d}"] == "c0000" for i in range(k))
+        assert m["n0"] == "n0" and m["n1"] == "n0" and m["u0"] == "u0"
+        # Quadratic exposure is real: banding the raw corpus emits
+        # every intra-group pair; banding the collapsed reps (what the
+        # operator now feeds the band join — same fingerprint/min-id
+        # collapse as exact_dedup) emits none.
+        raw_pairs = minhash_lsh_dedup_pairs(
+            docs, "doc_id", "text", threshold=0.5)
+        assert raw_pairs.filter(
+            F.col("id_a").startswith("c") & F.col("id_b").startswith("c")
+        ).count() == k * (k - 1) // 2
+        rep_pairs = minhash_lsh_dedup_pairs(
+            exact_dedup(docs, "doc_id", "text"), "doc_id", "text",
+            threshold=0.5)
+        assert rep_pairs.filter(F.col("id_a").startswith("c")).count() == 0
+        release_pins()
+
     def test_collision_independent_node_ids(self, spark, monkeypatch):
         """Planted total hash collision: if CC node ids were derived
         from xxhash64(id), mapping every id to the same long would weld
