@@ -20,16 +20,36 @@ Two lifetimes:
 ``PinScope.adopt()`` moves a scope's pins to the session registry for
 the cases where the function returns lazy frames that still reference
 them (e.g. ``build_graph`` without a catalog).
+
+Thread model (ADVICE r4): the scope stack is ``threading.local`` — a
+scope only captures pins made on its own thread, so concurrent driver
+threads (streaming foreachBatch beside a batch job) cannot release each
+other's caches. The session registry stays process-global under a lock;
+``release_pins()`` remains a whole-driver operation.
 """
 
 from __future__ import annotations
 
+import threading
 from typing import List, Optional
 
 from pyspark.sql import DataFrame
 
+# The session registry is deliberately global (release_pins() is the
+# whole-driver contract) but lock-guarded; the scope stack is
+# thread-local so a streaming foreachBatch running beside a batch job
+# (a normal Spark driver pattern) cannot have thread B's pin captured
+# by thread A's active PinScope and unpersisted under B's feet.
 _SESSION_PINS: List[DataFrame] = []
-_SCOPE_STACK: List["PinScope"] = []
+_SESSION_LOCK = threading.Lock()
+_TL = threading.local()
+
+
+def _scope_stack() -> List["PinScope"]:
+    stack = getattr(_TL, "stack", None)
+    if stack is None:
+        stack = _TL.stack = []
+    return stack
 
 
 class PinScope:
@@ -47,12 +67,13 @@ class PinScope:
         self._released = False
 
     def __enter__(self) -> "PinScope":
-        _SCOPE_STACK.append(self)
+        _scope_stack().append(self)
         return self
 
     def __exit__(self, exc_type, exc, tb) -> None:
-        if _SCOPE_STACK and _SCOPE_STACK[-1] is self:
-            _SCOPE_STACK.pop()
+        stack = _scope_stack()
+        if stack and stack[-1] is self:
+            stack.pop()
         # release on BOTH success and exception paths (unless the scope
         # was explicitly released/adopted): a failed job must not leave
         # its pins cached with no registry reference — that would be
@@ -74,7 +95,8 @@ class PinScope:
         """Move this scope's pins to the session registry (the returned
         lazy frames still reference them; ``release_pins()`` reclaims)."""
         self._released = True
-        _SESSION_PINS.extend(self.frames)
+        with _SESSION_LOCK:
+            _SESSION_PINS.extend(self.frames)
         self.frames.clear()
 
 
@@ -82,25 +104,29 @@ def pin(df: DataFrame, storage_level=None) -> DataFrame:
     """``persist()`` + register with the innermost active PinScope, or
     the session registry when no scope is active."""
     df = df.persist(storage_level) if storage_level is not None else df.persist()
-    if _SCOPE_STACK:
-        _SCOPE_STACK[-1].frames.append(df)
+    stack = _scope_stack()
+    if stack:
+        stack[-1].frames.append(df)
     else:
-        _SESSION_PINS.append(df)
+        with _SESSION_LOCK:
+            _SESSION_PINS.append(df)
     return df
 
 
 def detach_current_scope() -> Optional[PinScope]:
     """Internal: pop the innermost scope without releasing (used when a
     function conditionally keeps its pins alive)."""
-    return _SCOPE_STACK.pop() if _SCOPE_STACK else None
+    stack = _scope_stack()
+    return stack.pop() if stack else None
 
 
 def release_pins() -> int:
     """Unpersist every session-registered pin; returns how many were
     released. The session contract for long-lived callers."""
-    n = len(_SESSION_PINS)
-    while _SESSION_PINS:
-        df = _SESSION_PINS.pop()
+    with _SESSION_LOCK:
+        drained, n = list(_SESSION_PINS), len(_SESSION_PINS)
+        _SESSION_PINS.clear()
+    for df in drained:
         try:
             df.unpersist()
         except Exception:
@@ -110,4 +136,4 @@ def release_pins() -> int:
 
 def pinned_count() -> int:
     """Pins currently registered (session + open scopes) — test hook."""
-    return len(_SESSION_PINS) + sum(len(s.frames) for s in _SCOPE_STACK)
+    return len(_SESSION_PINS) + sum(len(s.frames) for s in _scope_stack())

@@ -108,6 +108,12 @@ def build_alias_dim(
         )
         .groupBy("_norm")
         .agg(F.min("canonical_id").alias("canonical_id"))
+        # The driver path emits pandas string dtype for both columns;
+        # cast AFTER the min so a numeric canonical_id is still picked
+        # by native ordering (matching the driver loop's python `<`)
+        # and only rendered as string — both gate paths now emit the
+        # same schema for non-string ids.
+        .select("_norm", F.col("canonical_id").cast("string").alias("canonical_id"))
     )
 
 
@@ -152,10 +158,17 @@ def augment_alias_dim(dim: DataFrame, extra: DataFrame) -> DataFrame:
     leftovers whose normalized forms missed the dim by construction);
     collisions among the extras themselves resolve deterministically to
     the minimum canonical_id (min over (priority, canonical_id) structs
-    — a nondeterministic pick would destabilize reruns)."""
-    extra_norm = extra.select(
+    — a nondeterministic pick would destabilize reruns). Null
+    surface/canonical_id extras are dropped with the same filter
+    build_alias_dim applies: struct-min sorts a null canonical_id field
+    BEFORE non-null, so an unfiltered null mapping would win the min
+    and shadow a real mapping for the same normalized surface."""
+    extra_norm = extra.filter(
+        F.col("surface").isNotNull() & F.col("canonical_id").isNotNull()
+    ).select(
         normalize_surface(F.col("surface")).alias("_norm"),
-        F.col("canonical_id"),
+        # dim canonical_id is string on both gate paths — align extras
+        F.col("canonical_id").cast("string").alias("canonical_id"),
     )
     combined = (
         dim.select("_norm", F.struct(F.lit(0).alias("_prio"),

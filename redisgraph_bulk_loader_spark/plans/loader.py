@@ -157,17 +157,40 @@ def _scan_quote_state(line, in_q, sep, esc):
     return in_q, dangling
 
 
-def _sniff_newline(path: str) -> str:
+def _sniff_newline(spark: SparkSession, path: str) -> str:
     """Line terminator of the file ("\r\n" or "\n") from its head —
     Hadoop's line reader strips BOTH, so record reassembly must rejoin
     embedded (in-quote) line breaks with the original terminator or
-    multi-line cell bytes differ from the whole-file parse. Non-local
-    paths fall back to "\n"."""
+    multi-line cell bytes differ from the whole-file parse.
+
+    Reads the head through the Hadoop FileSystem API (the same handle
+    ``_input_size_bytes`` uses) so sniffing works for EVERY scheme the
+    32 MB gate can route here — hdfs://, s3a://, ... are exactly where
+    the distributed path matters (ADVICE r4); a local open() fallback
+    would silently mis-terminate CRLF cells on remote storage. A
+    directory path sniffs its first contained file."""
+    jvm = spark._jvm
     try:
-        with open(path, "rb") as f:
-            head = f.read(1 << 16)
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.getFileStatus(p).isDirectory():
+            for st in fs.listStatus(p):
+                if st.isFile():
+                    p = st.getPath()
+                    break
+        n = min(int(fs.getFileStatus(p).getLen()), 1 << 16)
+        stream = fs.open(p)
+        try:
+            # commons-io (on Spark's classpath) reads exactly n bytes
+            # and returns byte[] -> python bytes in ONE py4j roundtrip;
+            # a per-byte stream.read() loop would be 64k roundtrips.
+            head = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream, n)
+            )
+        finally:
+            stream.close()
         return "\r\n" if b"\r\n" in head else "\n"
-    except OSError:
+    except Exception:
         return "\n"
 
 
@@ -205,7 +228,7 @@ def _distributed_logical_cells(
     from pyspark.sql.types import ArrayType, BooleanType, IntegerType
 
     sep, quoting, esc = cfg.separator, cfg.quoting, cfg.escapechar
-    newline = _sniff_newline(path)
+    newline = _sniff_newline(spark, path)
 
     from ..cache import pin
 

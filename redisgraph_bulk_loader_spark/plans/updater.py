@@ -465,16 +465,20 @@ def merge_edges(
 
     if dest_mode == "create":
         # Reference CREATE: one fresh node per row; the row's edge
-        # targets that exact node. Update CSVs are dim-scale (<= the
-        # reference's 100k-row largest load), bounding the global
-        # row_number and the driver-side max-id lookup.
+        # targets that exact node. Ids come from the same rerun-stable
+        # partition-prefix-sum assigner the loader uses (ADVICE r4: a
+        # global row_number Window funnels the whole update CSV through
+        # one task — assign_dense_ids keeps both jobs parallel and is
+        # ordering-identical: start = max_id + 1 matches the old
+        # 1-based row_number over order_col). The driver-side max-id
+        # lookup stays a single-row agg.
+        from ..ids import assign_dense_ids
+
         max_id = (nodes.agg(F.max("internal_id")).first()[0]
                   if "internal_id" in nodes.columns else None)
         next_base = (max_id if max_id is not None else -1)
-        fresh = matched.withColumn(
-            "_new_id",
-            F.lit(next_base)
-            + F.row_number().over(Window.orderBy(F.col(order_col))),
+        fresh = assign_dense_ids(
+            matched, [order_col], id_col="_new_id", start=next_base + 1,
         )
         new_nodes = fresh.select(
             F.col("_new_id").alias("internal_id"),

@@ -564,6 +564,27 @@ class TestDistributedQuotedParse:
         assert whole == dist
         assert dict(whole)[1] == ("a", "line one\r\nline two")
 
+    def test_newline_sniff_uses_hadoop_fs(self, spark, tmp_path):
+        """ADVICE r4: terminator sniffing must go through the Hadoop
+        FileSystem API so scheme-qualified paths (file://, hdfs://,
+        s3a:// — exactly where the >32MB distributed path routes) sniff
+        correctly; a local open() would OSError on the URI form and
+        silently fall back to '\\n', corrupting CRLF multi-line cells
+        on remote storage."""
+        from redisgraph_bulk_loader_spark.plans.loader import _sniff_newline
+
+        crlf = tmp_path / "crlf2.csv"
+        crlf.write_bytes(b'a,b\r\nx,"l1\r\nl2"\r\n')
+        lf = tmp_path / "lf.csv"
+        lf.write_bytes(b"a,b\nx,y\n")
+        # scheme-qualified URI — the regression the fix targets
+        assert _sniff_newline(spark, "file://" + str(crlf)) == "\r\n"
+        assert _sniff_newline(spark, str(crlf)) == "\r\n"
+        assert _sniff_newline(spark, str(lf)) == "\n"
+        # directory input sniffs a contained file; missing path -> '\n'
+        assert _sniff_newline(spark, str(tmp_path)) in ("\r\n", "\n")
+        assert _sniff_newline(spark, str(tmp_path / "nope.csv")) == "\n"
+
 
 class TestScriptFailureParity:
     """Reference test_script_failures / test_invalid_inputs

@@ -1041,8 +1041,32 @@ class TestPinScopeExceptionPath:
         assert not pinned.storageLevel.useMemory
         assert pinned_count() == 0
 
+    def test_scope_is_thread_local(self, spark):
+        """ADVICE r4: a pin made on thread B while thread A holds an
+        open PinScope must NOT be captured (and released) by A's scope
+        — it lands in the session registry and survives A's scope
+        exit."""
+        import threading
 
-class TestStreamingAutoCompact:
+        from redisgraph_bulk_loader_spark.cache import (
+            PinScope, pin, release_pins,
+        )
+
+        release_pins()
+        other_pin = []
+
+        def worker():
+            other_pin.append(pin(spark.range(10)))
+
+        with PinScope() as scope:
+            mine = pin(spark.range(5))
+            t = threading.Thread(target=worker)
+            t.start()
+            t.join()
+            assert scope.frames == [mine]  # B's pin not captured
+        assert not mine.storageLevel.useMemory       # scoped: released
+        assert other_pin[0].storageLevel.useMemory   # B's: still cached
+        assert release_pins() == 1                   # in session registry
     def test_compact_every_bounds_chain(self, spark, tmp_path):
         """compact_every=K collapses the delta chain once it exceeds K
         members, bounding read fan-in for long-running streams."""
