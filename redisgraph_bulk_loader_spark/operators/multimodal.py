@@ -115,20 +115,63 @@ def _decode_audio_stub(payload: bytes) -> List[float]:
     ]
 
 
-def extract_media_features(media: DataFrame) -> DataFrame:
+def _decode_image_pil(payload: bytes) -> List[float]:
+    """Real image decode (optional dependency): PIL-open the payload,
+    grayscale, resize to 4x4 and emit the 16 normalized pixel means —
+    an aHash-style perceptual feature with the same shape/range as the
+    stub, so swapping decoders changes values, never schema. Raises
+    ImportError when PIL is absent (callers gate on it) and lets
+    decode errors propagate (a corrupt image in a real corpus should
+    fail loudly, not silently hash bytes)."""
+    import io
+
+    from PIL import Image  # optional dep; import checked per-executor
+
+    side = int(FEATURE_DIM ** 0.5)
+    img = Image.open(io.BytesIO(payload)).convert("L").resize((side, side))
+    return [v / 255.0 for v in img.getdata()][:FEATURE_DIM]
+
+
+def _pil_importable() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def extract_media_features(media: DataFrame, *, decode: str = "auto") -> DataFrame:
     """media table -> (media_ref, mime, n_bytes, feature[16]).
 
     Arrow-batched; payload bytes stay within the task (never shuffled);
     output features are fixed-width floats.
-    """
+
+    ``decode``: 'stub' uses the deterministic byte-hash fakes; 'pil'
+    uses the real PIL aHash features for images (ImportError without
+    PIL installed); 'auto' (default) picks 'pil' when PIL is importable
+    on the driver, else 'stub' — the sandbox default stays the stub,
+    and an installed decoder upgrades images without a schema change.
+    Audio always uses the stub (no audio decoder dependency is wired)."""
+    if decode not in ("auto", "stub", "pil"):
+        raise ValueError("decode must be 'auto', 'stub', or 'pil'")
+    if decode == "auto":
+        decode = "pil" if _pil_importable() else "stub"
+    if decode == "pil" and not _pil_importable():
+        raise ImportError(
+            "decode='pil' requires Pillow (pip install Pillow); "
+            "use decode='stub' or 'auto' without it"
+        )
+    use_pil = decode == "pil"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        img_decode = _decode_image_pil if use_pil else _decode_image_stub
         for pdf in batches:
             feats = []
             for mime, payload in zip(pdf["mime"], pdf["payload"]):
                 b = bytes(payload)
                 if mime.startswith("image/"):
-                    feats.append(_decode_image_stub(b))
+                    feats.append(img_decode(b))
                 else:
                     feats.append(_decode_audio_stub(b))
             yield pd.DataFrame(

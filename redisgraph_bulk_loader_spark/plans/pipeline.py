@@ -208,11 +208,24 @@ def build_graph(
     after consuming the results in a long-lived session."""
     from ..cache import PinScope, pin
 
+    import os as _os
+    _prof = bool(_os.environ.get("SPARK_GRAFT_PROFILE_STAGES"))
+
+    def _tick(name, t0):
+        if _prof:
+            import sys as _sys
+            import time as _time
+            print(f"[stage-profile] {name}: {_time.time() - t0:.3f}s",
+                  file=_sys.stderr)
+
+    import time as _time_mod
     scope = PinScope()
+    _t = _time_mod.time()
     fp = (
         GraphCatalog.fingerprint_df(documents.select("doc_id", "spans"))
         if catalog is not None else None
     )
+    _tick("fingerprint", _t)
 
     # Full-resume short circuit: if the FINAL stage already ran against
     # this exact input and every output table exists, the whole build
@@ -259,10 +272,12 @@ def build_graph(
     mentions = extract_mentions(docs)
     staged = catalog is not None and checkpoint_stages
     if staged:
+        _t = _time_mod.time()
         if not catalog.is_complete("mentions", fp):
             catalog.write("mentions", mentions, stage="mentions",
                           input_fingerprint=fp)
         mentions = catalog.read("mentions")
+        _tick("mentions_stage", _t)
     else:
         mentions = pin(mentions)
     scope.__enter__()
@@ -279,7 +294,9 @@ def build_graph(
         linked0 = link_mentions(mentions, dim=dim0)
         if not staged:
             linked0 = pin(linked0)
+        _t = _time_mod.time()
         extra = _lsh_extra_mappings_scoped(linked0, aliases, lsh_threshold)
+        _tick("lsh_extra", _t)
         # No leftovers -> the first join IS the final linking. Leftovers ->
         # patch only the null-cid rows from the (tiny, pinned) extra
         # mappings instead of re-linking the whole mention stream.
@@ -293,8 +310,10 @@ def build_graph(
         # 4. canonicalization via connected components. The remap has one
         # row per canonical entity — broadcast only while it provably fits
         # (billions of entities at 100x must shuffle-join instead).
+        _t = _time_mod.time()
         remap = pin(canonicalize(aliases_aug))
         n_remap = remap.count()
+        _tick("canonicalize", _t)
 
         def _mb(df: DataFrame) -> DataFrame:
             return F.broadcast(df) if n_remap <= BROADCAST_THRESHOLD_ROWS else df
@@ -352,7 +371,9 @@ def build_graph(
         registry = pin(build_node_registry(
             node_ext, ["ext_id"], ["label", "ext_id"]
         ))
+        _t = _time_mod.time()
         n_registry = registry.count()  # warms the persist; feeds the join gate
+        _tick("registry_count", _t)
         nodes = node_ext.join(registry, "ext_id").select("internal_id", "label", "ext_id")
 
         # label / reltype registries (tiny dims, mirror header tokens)
@@ -391,6 +412,22 @@ def build_graph(
 
         if catalog is not None:
             if not catalog.is_complete("build_graph", fp):
+                import os as _os
+                if _os.environ.get("SPARK_GRAFT_PROFILE_STAGES"):
+                    # Debug decomposition: force-materialize the frames
+                    # that ride the write walls, timing each (stderr).
+                    # Not a production path — counts add whole jobs.
+                    import sys as _sys
+                    import time as _time
+                    for _nm, _frame in (("triples_pin", triples),
+                                        ("distinct_triples", distinct_triples),
+                                        ("edges_resolve", edges),
+                                        ("nodes_resolve", nodes)):
+                        _t0 = _time.time()
+                        _n = _frame.count()
+                        print(f"[stage-profile] {_nm}: "
+                              f"{_time.time() - _t0:.3f}s rows={_n}",
+                              file=_sys.stderr)
                 catalog.write("nodes", nodes, partition_by=["label"],
                               stage="nodes", input_fingerprint=fp)
                 catalog.write("edges", edges, partition_by=["rel_type"],

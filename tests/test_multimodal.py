@@ -1,6 +1,7 @@
 """Multimodal operator tests: binary payload plumbing, stub decode
 determinism, frame sampling shape, payload dedup."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from redisgraph_bulk_loader_spark.operators.multimodal import (
@@ -41,6 +42,44 @@ class TestMultimodal:
         assert [round(x, 6) for x in got.feature] == [
             round(x, 6) for x in expected
         ]
+
+    def test_decode_gate(self, spark):
+        """decode='auto' falls back to the stub without PIL and
+        upgrades to the real aHash decoder with it; 'pil' without the
+        dependency is a loud ImportError, never a silent stub. Both
+        decoders share FEATURE_SCHEMA, so the gate never changes the
+        plan."""
+        from redisgraph_bulk_loader_spark.operators.multimodal import (
+            _pil_importable,
+        )
+
+        media = _media(spark)
+        auto = extract_media_features(media, decode="auto")
+        stub = extract_media_features(media, decode="stub")
+        assert auto.schema == stub.schema
+        if _pil_importable():
+            import io
+
+            from PIL import Image
+
+            buf = io.BytesIO()
+            Image.new("L", (8, 8), color=128).save(buf, format="PNG")
+            png = spark.createDataFrame(
+                [("m0", "image/png", 8, 8, None, buf.getvalue())],
+                "media_ref string, mime string, width int, height int, "
+                "duration_ms int, payload binary",
+            )
+            row = extract_media_features(png, decode="pil").collect()[0]
+            # flat gray image -> every aHash cell ~128/255
+            assert all(abs(v - 128 / 255) < 0.02 for v in row.feature)
+        else:
+            with pytest.raises(ImportError, match="Pillow"):
+                extract_media_features(media, decode="pil")
+            a = {r.media_ref: r.feature for r in auto.collect()}
+            s = {r.media_ref: r.feature for r in stub.collect()}
+            assert a == s  # auto == stub in this sandbox
+        with pytest.raises(ValueError, match="decode"):
+            extract_media_features(media, decode="ffmpeg")
 
     def test_frame_sampling_only_timed_media(self, spark):
         media = _media(spark)

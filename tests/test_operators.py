@@ -645,6 +645,79 @@ class TestCatalogFormats:
         cat.write("t", spark.range(5))
         assert cat.read("t").count() == 5
 
+    def test_iceberg_write_chain_reaches_source_resolution(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """VERDICT r4 #4 offline smoke (write half): with availability
+        forced, the fmt='iceberg' branch must build and SUBMIT the full
+        DataFrameWriterV2 chain — namespace DDL, snapshot ident,
+        observe wrapper, partitionedBy — and fail only at Spark's data
+        source lookup (the one thing the sandbox lacks). An error
+        earlier (bad ident, malformed partition spec, analysis failure
+        in our chain) fails this test."""
+        if GraphCatalog.iceberg_available(spark):
+            pytest.skip("Iceberg present: the real roundtrip test covers this")
+        monkeypatch.setattr(GraphCatalog, "iceberg_available",
+                            staticmethod(lambda _s: True))
+        cat = GraphCatalog(
+            spark, str(tmp_path / "c"), fmt="iceberg",
+            iceberg_catalog="spark_catalog", iceberg_namespace="default",
+        )
+        df = spark.range(5).select(
+            F.col("id"), (F.col("id") % 2).cast("string").alias("p"))
+        with pytest.raises(Exception, match="(?i)iceberg") as ei:
+            cat.write("t", df, partition_by=["p"])
+        # provider-lookup failure, not an analysis error in our chain
+        assert any(tok in str(ei.value)
+                   for tok in ("DATA_SOURCE_NOT_FOUND",
+                               "Failed to find data source",
+                               "Failed to find the data source"))
+        # the failed write must not have committed a manifest entry
+        assert not cat.exists("t")
+
+    def test_iceberg_read_path_roundtrip_via_v2_catalog(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """VERDICT r4 #4 offline smoke (read half): the iceberg-branch
+        read path (spark.table over the snapshot ident) executes for
+        real against Spark's bundled JDBC V2 catalog on embedded Derby
+        — a table created under the exact ident cat.write would use
+        resolves through GraphCatalog.read/read_at."""
+        import json as _json
+        import time as _time
+
+        spark.conf.set(
+            "spark.sql.catalog.rgblsmoke",
+            "org.apache.spark.sql.execution.datasources.v2.jdbc."
+            "JDBCTableCatalog")
+        spark.conf.set("spark.sql.catalog.rgblsmoke.url",
+                       "jdbc:derby:memory:rgblsmoke;create=true")
+        spark.conf.set("spark.sql.catalog.rgblsmoke.driver",
+                       "org.apache.derby.jdbc.EmbeddedDriver")
+        monkeypatch.setattr(GraphCatalog, "iceberg_available",
+                            staticmethod(lambda _s: True))
+        # __init__ runs CREATE NAMESPACE against the V2 catalog for real
+        cat = GraphCatalog(spark, str(tmp_path / "c"), fmt="iceberg",
+                           iceberg_catalog="rgblsmoke")
+        df = spark.range(5).select(F.col("id"))
+        # materialize the snapshot table under the ident the writer
+        # would use (the JDBC catalog rejects using()/partitionedBy, so
+        # the write half is covered by the source-resolution smoke)
+        df.writeTo(cat._iceberg_ident("t", 0)).createOrReplace()
+        m = cat._manifest()
+        m["tables"]["t"] = {
+            "snapshots": [{"ts": _time.time(), "rows": 5, "mode": "overwrite",
+                           "snapshot": 0, "delta_base": None,
+                           "partition_by": [],
+                           "input_fingerprint": None,
+                           "schema": df.schema.json()}],
+            "current": 0,
+        }
+        cat._save_manifest(m)
+        assert cat.read("t").count() == 5
+        assert cat.read_at("t", 0).count() == 5
+        assert sorted(r.id for r in cat.read("t").collect()) == [0, 1, 2, 3, 4]
+
 
 class TestIvfAnn:
     def _emb(self, spark, n=120, dim=8):
