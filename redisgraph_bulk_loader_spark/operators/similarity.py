@@ -118,6 +118,16 @@ def ann_self_join_pairs(
     band and recall on them is ~1; band width trades candidate volume
     against recall on milder similarity.
 
+    SIZE THE BUCKET SPACE TO THE CORPUS: random pairs spread roughly
+    uniformly over the 2^(bits/bands) buckets per band, so expected
+    candidates are ~bands * n^2 / 2^(bits/bands). The 32/4 default
+    (8-bit buckets) is right for bench-scale corpora; at n >= ~100k
+    use bits=64, bands=4 (16-bit buckets — candidates drop 256x while
+    near-identical recall stays ~1: p_bit_flip ~ theta/pi is tiny at
+    high cosine, so (1-p)^16 per band stays near 1). The sign bit of
+    the packed long is just another signature bit; banding masks after
+    an arithmetic shift, so negative packed values are handled.
+
     Returns (id_a, id_b, cos_sim) with id_a < id_b."""
     planes = _random_planes(dim, bits, seed)
     rows_per_band = bits // bands
