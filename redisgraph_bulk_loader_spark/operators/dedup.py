@@ -259,11 +259,33 @@ def dedup_assignments(
         # Exact-group map shuffles only (fingerprint, id) — text never
         # rides it. Group rep = min id, so min-of-group-reps per
         # component below still equals min over all member ids.
+        # Null TEXT is one exact group: the banding path merges
+        # null-text docs too (their [null] shingle arrays hash and
+        # jaccard-compare identically — pinned by the degenerate-input
+        # pytest), so the fingerprint gets a non-hex sentinel instead
+        # of null (a null grouping key would silently fall out of the
+        # equi-join below). Null IDS map to themselves: a null id can
+        # never appear in a pair (id_a < id_b is null-false), so
+        # collapsing one under a group rep would invent a merge the
+        # un-collapsed path doesn't make.
         fpm = df.select(
-            F.col(id_col), doc_fingerprint(F.col(text_col)).alias("_xfp")
+            F.col(id_col),
+            F.coalesce(doc_fingerprint(F.col(text_col)),
+                       F.lit("\x00null-text")).alias("_xfp"),
         )
-        grp = fpm.groupBy("_xfp").agg(F.min(id_col).alias("_grep"))
-        member_map = fpm.join(grp, "_xfp").select(id_col, "_grep").distinct()
+        grp = fpm.filter(F.col(id_col).isNotNull()) \
+            .groupBy("_xfp").agg(F.min(id_col).alias("_grep"))
+        member_map = (
+            fpm.join(grp, "_xfp", "left")
+            .groupBy(id_col)  # one row per id even under dup-id input
+            .agg(F.min("_grep").alias("_grep"))
+            .select(
+                id_col,
+                F.when(F.col(id_col).isNull(), F.col(id_col))
+                .otherwise(F.coalesce(F.col("_grep"), F.col(id_col)))
+                .alias("_grep"),
+            )
+        )
         # Band only the group representatives (semi join keeps df's
         # columns/text without the text ever entering the group map).
         band_input = df.join(

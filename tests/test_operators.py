@@ -528,6 +528,31 @@ class TestDedupAssignments:
         assert rep_pairs.filter(F.col("id_a").startswith("c")).count() == 0
         release_pins()
 
+    def test_exact_collapse_degenerate_inputs(self, spark):
+        """Degenerate inputs behave identically on both paths: null
+        texts merge with each other (their [null] shingle arrays hash
+        and jaccard-compare identically in the banding path, so the
+        collapse groups them under a sentinel fingerprint), empty
+        texts merge (identical [''] shingle set), and a null id
+        survives as itself (pairs can't contain it — id_a < id_b is
+        null-false — so the collapse must not put it under a group
+        rep either)."""
+        from redisgraph_bulk_loader_spark.operators.dedup import (
+            dedup_assignments,
+        )
+
+        rows = [("a", None), ("b", None), ("c", ""), ("d", ""),
+                (None, "alpha beta gamma delta"), ("e", "alpha beta gamma delta")]
+        docs = spark.createDataFrame(rows, "doc_id string, text string")
+        for collapse in (True, False):
+            m = {r.doc_id: r.rep_id
+                 for r in dedup_assignments(
+                     docs, "doc_id", "text", threshold=0.5,
+                     collapse_exact=collapse).collect()}
+            assert m["a"] == "a" and m["b"] == "a", (collapse, m)
+            assert m["c"] == "c" and m["d"] == "c", (collapse, m)
+            assert m[None] is None and m["e"] == "e", (collapse, m)
+
     def test_collision_independent_node_ids(self, spark, monkeypatch):
         """Planted total hash collision: if CC node ids were derived
         from xxhash64(id), mapping every id to the same long would weld
