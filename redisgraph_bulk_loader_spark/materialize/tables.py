@@ -438,9 +438,13 @@ class GraphCatalog:
         snapshot; time travel to the uncompacted one still works."""
         n = target_files or self.spark.sparkContext.defaultParallelism
         df = self.read(table)
+        # rebalance=False: compact's explicit repartition(n) IS the
+        # layout contract (target_files) — stacking the write-side
+        # rebalance on top would shuffle twice and let the AQE
+        # advisory size override the requested file count.
         self.write(table, df.repartition(n),
                    partition_by=self.current_partition_by(table),
-                   stage=f"compact_{table}")
+                   stage=f"compact_{table}", rebalance=False)
 
     def materialize_index(self, table: str, label: str, prop: str) -> None:
         """Make a recorded range index real for a loader-shaped nodes

@@ -253,6 +253,8 @@ def dedup_assignments(
     # localCheckpoint cuts lineage, so the shingle-set cache the pair
     # generator pins internally is released right here instead of
     # living for the session (persist hygiene, VERDICT r3 #3).
+    from ..cache import pin
+
     member_map = None
     band_input = df
     if method == "minhash" and collapse_exact:
@@ -268,31 +270,46 @@ def dedup_assignments(
         # never appear in a pair (id_a < id_b is null-false), so
         # collapsing one under a group rep would invent a merge the
         # un-collapsed path doesn't make.
-        fpm = df.select(
-            F.col(id_col),
-            F.coalesce(doc_fingerprint(F.col(text_col)),
-                       F.lit("\x00null-text")).alias("_xfp"),
-        )
-        grp = fpm.filter(F.col(id_col).isNotNull()) \
-            .groupBy("_xfp").agg(F.min(id_col).alias("_grep"))
-        member_map = (
-            fpm.join(grp, "_xfp", "left")
-            .groupBy(id_col)  # one row per id even under dup-id input
-            .agg(F.min("_grep").alias("_grep"))
-            .select(
-                id_col,
-                F.when(F.col(id_col).isNull(), F.col(id_col))
-                .otherwise(F.coalesce(F.col("_grep"), F.col(id_col)))
-                .alias("_grep"),
+        # Pin hygiene: fpm (a full-corpus fingerprint scan) feeds grp
+        # AND member_map; grp (a full groupBy shuffle) feeds member_map
+        # AND the band_input semi join. Both are pinned inside the
+        # collapse scope; member_map is eagerly checkpointed (two
+        # narrow columns, O(corpus) rows) so the returned lazy tail
+        # doesn't re-run either after the scope releases the pins.
+        with PinScope():
+            fpm = pin(df.select(
+                F.col(id_col),
+                F.coalesce(doc_fingerprint(F.col(text_col)),
+                           F.lit("\x00null-text")).alias("_xfp"),
+            ))
+            grp = pin(fpm.filter(F.col(id_col).isNotNull())
+                      .groupBy("_xfp").agg(F.min(id_col).alias("_grep")))
+            member_map = (
+                fpm.join(grp, "_xfp", "left")
+                .groupBy(id_col)  # one row per id even under dup-id input
+                .agg(F.min("_grep").alias("_grep"))
+                .select(
+                    id_col,
+                    F.when(F.col(id_col).isNull(), F.col(id_col))
+                    .otherwise(F.coalesce(F.col("_grep"), F.col(id_col)))
+                    .alias("_grep"),
+                )
+            ).localCheckpoint(eager=True)
+            # Band only the group representatives (semi join keeps df's
+            # columns/text without the text ever entering the group
+            # map). Built from the pinned grp; consumed (and
+            # checkpointed via `pairs`) before the scope releases.
+            band_input = df.join(
+                grp.select(F.col("_grep").alias(id_col)), id_col, "semi"
             )
-        )
-        # Band only the group representatives (semi join keeps df's
-        # columns/text without the text ever entering the group map).
-        band_input = df.join(
-            grp.select(F.col("_grep").alias(id_col)), id_col, "semi"
-        )
+            pairs_pre = minhash_lsh_dedup_pairs(
+                band_input, id_col, text_col, n=n, threshold=threshold,
+                portable=portable,
+            ).localCheckpoint(eager=True)
     with PinScope():
-        if method == "minhash":
+        if method == "minhash" and member_map is not None:
+            pairs = pairs_pre
+        elif method == "minhash":
             pairs = minhash_lsh_dedup_pairs(
                 band_input, id_col, text_col, n=n, threshold=threshold,
                 portable=portable,

@@ -148,24 +148,34 @@ def extract_media_features(media: DataFrame, *, decode: str = "auto") -> DataFra
     output features are fixed-width floats.
 
     ``decode``: 'stub' uses the deterministic byte-hash fakes; 'pil'
-    uses the real PIL aHash features for images (ImportError without
-    PIL installed); 'auto' (default) picks 'pil' when PIL is importable
-    on the driver, else 'stub' — the sandbox default stays the stub,
-    and an installed decoder upgrades images without a schema change.
+    uses the real PIL aHash features for images — the driver check
+    fails fast when Pillow is missing locally, and a missing executor
+    install still raises loudly per task (executors commonly run a
+    different shipped environment than the driver). 'auto' (default)
+    resolves ON EACH EXECUTOR: PIL if importable in the worker
+    environment, else the stub — a driver-only install cannot crash
+    the job, and the sandbox default stays the stub. NOTE 'auto'
+    makes feature VALUES environment-dependent (installing Pillow
+    between runs changes them for the same corpus); pin decode='stub'
+    or 'pil' explicitly where resume fingerprints must be stable.
     Audio always uses the stub (no audio decoder dependency is wired)."""
     if decode not in ("auto", "stub", "pil"):
         raise ValueError("decode must be 'auto', 'stub', or 'pil'")
-    if decode == "auto":
-        decode = "pil" if _pil_importable() else "stub"
     if decode == "pil" and not _pil_importable():
         raise ImportError(
             "decode='pil' requires Pillow (pip install Pillow); "
             "use decode='stub' or 'auto' without it"
         )
-    use_pil = decode == "pil"
+    mode = decode
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        img_decode = _decode_image_pil if use_pil else _decode_image_stub
+        if mode == "pil":
+            img_decode = _decode_image_pil  # missing on executor: loud
+        elif mode == "auto":
+            img_decode = (_decode_image_pil if _pil_importable()
+                          else _decode_image_stub)
+        else:
+            img_decode = _decode_image_stub
         for pdf in batches:
             feats = []
             for mime, payload in zip(pdf["mime"], pdf["payload"]):

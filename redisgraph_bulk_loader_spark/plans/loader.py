@@ -170,10 +170,16 @@ def _sniff_newline(spark: SparkSession, path: str) -> str:
     would silently mis-terminate CRLF cells on remote storage. A
     directory path sniffs its first contained file."""
     jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
     try:
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        if fs.getFileStatus(p).isDirectory():
+        status = fs.getFileStatus(p)
+    except Exception:
+        # missing path: the read that follows will fail loudly anyway;
+        # '\n' is just the placeholder for that doomed plan
+        return "\n"
+    try:
+        if status.isDirectory():
             for st in fs.listStatus(p):
                 if st.isFile():
                     p = st.getPath()
@@ -190,7 +196,18 @@ def _sniff_newline(spark: SparkSession, path: str) -> str:
         finally:
             stream.close()
         return "\r\n" if b"\r\n" in head else "\n"
-    except Exception:
+    except Exception as e:  # pragma: no cover - env-specific failures
+        # An EXISTING file we cannot sniff (transient remote-FS error,
+        # stripped commons-io, ...) must not silently corrupt CRLF
+        # multi-line cells — warn before assuming '\n'.
+        import warnings
+
+        warnings.warn(
+            f"newline sniff failed for {path} ({e!r}); assuming '\\n' — "
+            "CRLF files with quoted multi-line fields may reassemble "
+            "with the wrong terminator",
+            RuntimeWarning,
+        )
         return "\n"
 
 

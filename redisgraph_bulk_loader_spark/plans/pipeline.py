@@ -127,18 +127,25 @@ def canonicalize(
     if n_aliases <= driver_threshold:
         import pandas as pd
 
+        # str() everywhere a tag is built so non-string canonical ids
+        # work on this branch too; the min is taken over NATIVE values
+        # (numeric order for numeric ids) and only rendered as string
+        # at the end — mirroring the distributed branch's cast-after-min
         rows = aliases.select("surface", "canonical_id").collect()
-        pairs = [("s:" + r["surface"], "c:" + r["canonical_id"])
+        pairs = [("s:" + str(r["surface"]), "c:" + str(r["canonical_id"]))
                  for r in rows]
         comp_of = dict(_driver_union_find(pairs))
         canon_ids = sorted({r["canonical_id"] for r in rows})
         comp_min: dict = {}
         for cid in canon_ids:
-            root = comp_of.get("c:" + cid, "c:" + cid)
+            key = "c:" + str(cid)
+            root = comp_of.get(key, key)
             prev = comp_min.get(root)
             if prev is None or cid < prev:
                 comp_min[root] = cid
-        remap = [(cid, comp_min[comp_of.get("c:" + cid, "c:" + cid)])
+        remap = [(str(cid),
+                  str(comp_min[comp_of.get("c:" + str(cid),
+                                           "c:" + str(cid))]))
                  for cid in canon_ids]
         pdf = pd.DataFrame(remap or [("", "")],
                            columns=["canonical_id", "canon_id"])
@@ -174,7 +181,17 @@ def canonicalize(
     reps = with_comp.groupBy("component").agg(
         F.min("canonical_id").alias("canon_id")
     )
-    return with_comp.join(reps, "component").select("canonical_id", "canon_id")
+    # Both gate branches emit STRING ids (the driver branch always
+    # did via its explicit schema; build_alias_dim does on both of its
+    # paths) — cast AFTER the min so a numeric canonical_id is still
+    # picked by native ordering and only rendered as string. Without
+    # this, the remap join in build_graph compares the dim's string
+    # cid against a long canon column and Spark coerces both to
+    # double, welding 64-bit ids that differ only above 2^53.
+    return with_comp.join(reps, "component").select(
+        F.col("canonical_id").cast("string").alias("canonical_id"),
+        F.col("canon_id").cast("string").alias("canon_id"),
+    )
 
 
 def build_graph(
@@ -412,22 +429,17 @@ def build_graph(
 
         if catalog is not None:
             if not catalog.is_complete("build_graph", fp):
-                import os as _os
-                if _os.environ.get("SPARK_GRAFT_PROFILE_STAGES"):
+                if _prof:
                     # Debug decomposition: force-materialize the frames
                     # that ride the write walls, timing each (stderr).
                     # Not a production path — counts add whole jobs.
-                    import sys as _sys
-                    import time as _time
                     for _nm, _frame in (("triples_pin", triples),
                                         ("distinct_triples", distinct_triples),
                                         ("edges_resolve", edges),
                                         ("nodes_resolve", nodes)):
-                        _t0 = _time.time()
-                        _n = _frame.count()
-                        print(f"[stage-profile] {_nm}: "
-                              f"{_time.time() - _t0:.3f}s rows={_n}",
-                              file=_sys.stderr)
+                        _t0 = _time_mod.time()
+                        _frame.count()
+                        _tick(_nm, _t0)
                 catalog.write("nodes", nodes, partition_by=["label"],
                               stage="nodes", input_fingerprint=fp)
                 catalog.write("edges", edges, partition_by=["rel_type"],

@@ -197,6 +197,29 @@ class TestPlanShapes:
         assert out["ada"] == "e7"  # null extra did not shadow
         assert None not in out
 
+    def test_canonicalize_gate_paths_agree_on_long_ids(self, spark):
+        """code-review r5: canonicalize must emit STRING ids on both
+        gate branches (matching build_alias_dim), with the component
+        representative picked by NATIVE ordering before the render —
+        otherwise the remap join in build_graph compares string vs
+        long and Spark's double coercion can weld 64-bit ids."""
+        from redisgraph_bulk_loader_spark.plans.pipeline import canonicalize
+
+        aliases = spark.createDataFrame(
+            [("Ada", 10), ("Ada", 9), ("Bob", 7)],
+            "surface string, canonical_id long",
+        )
+        driver = canonicalize(aliases)  # 3 rows <= gate
+        dist = canonicalize(aliases, driver_threshold=0)
+        for out in (driver, dist):
+            assert [f.dataType.simpleString() for f in out.schema.fields] \
+                == ["string", "string"]
+        a = sorted(tuple(r) for r in driver.collect())
+        b = sorted(tuple(r) for r in dist.collect())
+        assert a == b
+        assert dict(a)["10"] == "9" and dict(a)["9"] == "9"  # numeric min
+        assert dict(a)["7"] == "7"
+
     def test_whole_stage_codegen_on_agg(self, spark):
         li = spark.read.parquet(os.path.join(SF, "lineitem.parquet"))
         agg = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s"))
