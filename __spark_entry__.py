@@ -509,6 +509,29 @@ def _q_ann_self_join(spark, sf_dir):
     )
 
 
+def _q_emb_dedup_clusters(spark, sf_dir):
+    """Embedding-cosine near-dup ASSIGNMENT (the vector twin of
+    dedup_clusters): ann_self_join_pairs candidates + exact-cosine
+    verify -> connected components -> min-id survivor per cluster,
+    identity for vectors in no pair. Same extended corpus as
+    ann_self_join (base + 1.01-scaled copies), so the oracle is the
+    same algorithm-twin pair SQL wrapped in a recursive-CTE closure —
+    dataset-independent equality."""
+    from redisgraph_bulk_loader_spark.operators.dedup import (
+        embedding_dedup_assignments,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    copies = emb.filter(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * F.lit(1.01)).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies)
+    return embedding_dedup_assignments(corpus, threshold=0.9)
+
+
 def _q_dedup_clusters(spark, sf_dir):
     """Full dedup composition: minhash near-dup pairs -> connected
     components -> survivor (min id) per cluster, identity for docs in
@@ -577,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_loader_enforced": _q_kg_loader_enforced,
         "ann_self_join": _q_ann_self_join,
         "dedup_clusters": _q_dedup_clusters,
+        "emb_dedup_clusters": _q_emb_dedup_clusters,
         "media_features": _q_media_features,
         "media_near_dup": _q_media_near_dup,
         "corpus_curation": _q_corpus_curation,
@@ -764,13 +788,11 @@ def _minhash_clusters_oracle_sql(threshold: float = 0.5) -> str:
     """
 
 
-def _ann_self_join_oracle_sql() -> str:
-    """DuckDB twin of ann_self_join_pairs(bits=32, bands=4, dim=64,
-    seed=42, threshold=0.9): the SAME hyperplane constants drive
-    signature/band/bucket computation SQL-side over the SAME extended
-    corpus (base + 1.01-scaled copies), then exact cosine verifies —
-    the oracle checks the banded-LSH algorithm itself, including any
-    banding misses, so equality does not depend on dataset recall."""
+def _ann_self_join_ctes() -> str:
+    """Shared CTE chain of the ann_self_join twins: seeded hyperplane
+    constants -> signatures -> 4x8-bit banding -> candidate self-join
+    -> exact-cosine ``verified(id_a, id_b, cs)`` over the extended
+    corpus (base + 1.01-scaled copies of vec_id < 50)."""
     from redisgraph_bulk_loader_spark.operators.similarity import (
         _random_planes,
     )
@@ -780,8 +802,7 @@ def _ann_self_join_oracle_sql() -> str:
         f"({b}, [{', '.join(repr(x) for x in p)}])"
         for b, p in enumerate(planes)
     )
-    return f"""
-        WITH planes(bit, plane) AS (VALUES {plane_rows}),
+    return f"""planes(bit, plane) AS (VALUES {plane_rows}),
         base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         ext AS (
           SELECT vec_id, v FROM base
@@ -806,16 +827,52 @@ def _ann_self_join_oracle_sql() -> str:
           FROM banded a JOIN banded b
             ON a.band = b.band AND a.bucket = b.bucket
            AND a.vec_id < b.vec_id
-        )
-        SELECT id_a, id_b, ROUND(cs, 6) AS csim FROM (
-          SELECT c.id_a, c.id_b,
-                 list_inner_product(ea.v, eb.v)
-                   / (sqrt(list_inner_product(ea.v, ea.v))
-                      * sqrt(list_inner_product(eb.v, eb.v))) AS cs
-          FROM cand c
-          JOIN ext ea ON ea.vec_id = c.id_a
-          JOIN ext eb ON eb.vec_id = c.id_b)
-        WHERE cs >= 0.9
+        ),
+        verified AS (
+          SELECT id_a, id_b, cs FROM (
+            SELECT c.id_a, c.id_b,
+                   list_inner_product(ea.v, eb.v)
+                     / (sqrt(list_inner_product(ea.v, ea.v))
+                        * sqrt(list_inner_product(eb.v, eb.v))) AS cs
+            FROM cand c
+            JOIN ext ea ON ea.vec_id = c.id_a
+            JOIN ext eb ON eb.vec_id = c.id_b)
+          WHERE cs >= 0.9
+        )"""
+
+
+def _ann_self_join_oracle_sql() -> str:
+    """DuckDB twin of ann_self_join_pairs(bits=32, bands=4, dim=64,
+    seed=42, threshold=0.9): the SAME hyperplane constants drive
+    signature/band/bucket computation SQL-side over the SAME extended
+    corpus (base + 1.01-scaled copies), then exact cosine verifies —
+    the oracle checks the banded-LSH algorithm itself, including any
+    banding misses, so equality does not depend on dataset recall."""
+    return f"""
+        WITH {_ann_self_join_ctes()}
+        SELECT id_a, id_b, ROUND(cs, 6) AS csim FROM verified
+    """
+
+
+def _emb_clusters_oracle_sql() -> str:
+    """Recursive-CTE transitive closure over the ann_self_join verified
+    pair set — the embedding_dedup_assignments composition twin
+    (the vector analogue of _minhash_clusters_oracle_sql)."""
+    return f"""
+        WITH RECURSIVE {_ann_self_join_ctes()},
+        sym AS (
+          SELECT id_a AS u, id_b AS v FROM verified
+          UNION SELECT id_b, id_a FROM verified
+        ),
+        reach(a, b) AS (
+          SELECT u, v FROM sym
+          UNION
+          SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
+        ),
+        rep AS (SELECT a AS id, LEAST(a, MIN(b)) AS r
+                FROM reach GROUP BY a)
+        SELECT e.vec_id, COALESCE(rep.r, e.vec_id) AS rep_id
+        FROM ext e LEFT JOIN rep ON rep.id = e.vec_id
     """
 
 
@@ -1216,6 +1273,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(iv AS DOUBLE) / (sa.sz + sb.sz - iv) >= 0.3
         """,
         "dedup_clusters": _minhash_clusters_oracle_sql(0.5),
+        "emb_dedup_clusters": _emb_clusters_oracle_sql(),
         "ann_self_join": _ann_self_join_oracle_sql(),
         "ann_brute_force": """
             WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv

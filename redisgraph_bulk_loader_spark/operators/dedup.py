@@ -195,6 +195,40 @@ def simhash_dup_pairs(
     )
 
 
+def _cc_assignments(pairs: DataFrame, id_col: str) -> DataFrame:
+    """(id, _rep) for every id appearing in a near-dup pair: connected
+    components over collision-free injective longs, representative =
+    min id per component. ``pairs`` must already be materialized
+    (checkpointed) by the caller — every frame here references it
+    several times. The reps join is size-gated on the member count
+    (an upper bound on cluster count): at web scale duplicates are
+    30-50% of the corpus, so an unconditional broadcast would OOM."""
+    from ..canon import connected_components
+    from ..canon.components import injective_node_ids
+    from .endpoints import BROADCAST_THRESHOLD_ROWS
+
+    members = (
+        pairs.select(F.col("id_a").alias(id_col))
+        .union(pairs.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    node_map = injective_node_ids(members, id_col)
+    n_members = node_map.count()  # pairs checkpointed — near-free
+    edges = (
+        pairs.join(node_map.select(F.col(id_col).alias("id_a"),
+                                   F.col("node").alias("u")), "id_a")
+        .join(node_map.select(F.col(id_col).alias("id_b"),
+                              F.col("node").alias("v")), "id_b")
+        .select("u", "v")
+    )
+    cc = connected_components(edges)
+    with_comp = node_map.join(cc, "node")
+    reps = with_comp.groupBy("component").agg(F.min(id_col).alias("_rep"))
+    if n_members <= BROADCAST_THRESHOLD_ROWS:
+        reps = F.broadcast(reps)
+    return with_comp.join(reps, "component").select(id_col, F.col("_rep"))
+
+
 def dedup_assignments(
     df: DataFrame,
     id_col: str,
@@ -241,10 +275,6 @@ def dedup_assignments(
     inside the 100 TB envelope, and one collision welds two clusters);
     the representative is the min *string* id per component, so node
     longs never surface."""
-    from ..canon import connected_components
-    from ..canon.components import injective_node_ids
-    from .endpoints import BROADCAST_THRESHOLD_ROWS
-
     from ..cache import PinScope
 
     # The pair join is the expensive plan and three consumers reference
@@ -322,32 +352,7 @@ def dedup_assignments(
         else:
             raise ValueError("method must be 'minhash' or 'exact'")
         pairs = pairs.localCheckpoint(eager=True)
-    members = (
-        pairs.select(F.col("id_a").alias(id_col))
-        .union(pairs.select(F.col("id_b").alias(id_col)))
-        .distinct()
-    )
-    node_map = injective_node_ids(members, id_col)
-    n_members = node_map.count()  # checkpointed above — near-free
-    edges = (
-        pairs.join(node_map.select(F.col(id_col).alias("id_a"),
-                                   F.col("node").alias("u")), "id_a")
-        .join(node_map.select(F.col(id_col).alias("id_b"),
-                              F.col("node").alias("v")), "id_b")
-        .select("u", "v")
-    )
-    cc = connected_components(edges)
-    with_comp = node_map.join(cc, "node")
-    reps = with_comp.groupBy("component").agg(F.min(id_col).alias("_rep"))
-    # reps has one row per duplicate cluster — at web scale duplicates
-    # are 30-50% of the corpus, so broadcast only while it provably
-    # fits (gated on the member count, an upper bound on clusters);
-    # above the gate it is a shuffle join on component.
-    if n_members <= BROADCAST_THRESHOLD_ROWS:
-        reps = F.broadcast(reps)
-    assigned = with_comp.join(reps, "component").select(
-        id_col, F.col("_rep")
-    )
+    assigned = _cc_assignments(pairs, id_col)
     if member_map is not None:
         # Fan cluster assignments back out: every member inherits its
         # group rep's component rep; groups whose rep is in no pair
@@ -360,6 +365,47 @@ def dedup_assignments(
             id_col,
             F.coalesce(F.col("_rep"), F.col("_grep")).alias("rep_id"),
         )
+    return (
+        df.select(id_col).distinct()
+        .join(assigned, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("_rep"), F.col(id_col)).alias("rep_id"),
+        )
+    )
+
+
+def embedding_dedup_assignments(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    threshold: float = 0.9,
+    bits: int = 32,
+    bands: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup assignment — the vector twin of the
+    text `dedup_assignments` composition: banded hyperplane self-join
+    candidates + exact-cosine verification (`ann_self_join_pairs`) ->
+    connected components over injective longs -> one surviving
+    representative (min id) per cluster; vectors in no pair survive as
+    themselves. Returns (id_col, rep_id).
+
+    The pair generator's defaults are algorithm-twinnable (seeded
+    planes), so a SQL oracle can reproduce the exact cluster set; at
+    n >= ~100k vectors pass bits=64 (see the bucket-sizing note on
+    ann_self_join_pairs)."""
+    from ..cache import PinScope
+    from .similarity import ann_self_join_pairs
+
+    with PinScope():
+        pairs = ann_self_join_pairs(
+            df, id_col=id_col, vec_col=vec_col, threshold=threshold,
+            bits=bits, bands=bands, dim=dim, seed=seed,
+        ).select("id_a", "id_b").localCheckpoint(eager=True)
+    assigned = _cc_assignments(pairs, id_col)
     return (
         df.select(id_col).distinct()
         .join(assigned, id_col, "left")

@@ -480,6 +480,33 @@ class TestDedupAssignments:
     def test_chain_clusters_and_identity(self, spark):
         assert self._run(spark) == self._EXPECT
 
+    def test_embedding_assignments_cluster_planted_copies(self, spark):
+        """Vector twin of the text composition: scaled copies (same
+        direction, sign-invariant signatures -> banding recall 1)
+        must collapse onto the original min id; unrelated vectors
+        survive as themselves; chains a~b, b~c merge through CC."""
+        import random
+
+        from redisgraph_bulk_loader_spark.operators.dedup import (
+            embedding_dedup_assignments,
+        )
+
+        rnd = random.Random(11)
+        base = [[rnd.gauss(0, 1) for _ in range(64)] for _ in range(6)]
+        rows = [(i, base[i]) for i in range(6)]
+        # copies of vec 0 at two scales (a~b and b~c both jaccard the
+        # same direction: one component {0, 100, 200})
+        rows += [(100, [x * 1.01 for x in base[0]]),
+                 (200, [x * 0.99 for x in base[0]])]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        m = {r.vec_id: r.rep_id
+             for r in embedding_dedup_assignments(emb, threshold=0.9).collect()}
+        assert m[0] == 0 and m[100] == 0 and m[200] == 0
+        # independent 64-d gaussians: pairwise |cos| ~ N(0, 1/8) —
+        # nowhere near the 0.9 threshold, so each survives as itself
+        assert all(m[i] == i for i in range(1, 6))
+        assert len(m) == 8
+
     def test_exact_collapse_bounds_banding(self, spark):
         """Planted boilerplate group: k identical copies must not ride
         the band join as k members (O(k^2 * bands) candidates). The
