@@ -300,37 +300,39 @@ def dedup_assignments(
         # never appear in a pair (id_a < id_b is null-false), so
         # collapsing one under a group rep would invent a merge the
         # un-collapsed path doesn't make.
-        # Pin hygiene: fpm (a full-corpus fingerprint scan) feeds grp
-        # AND member_map; grp (a full groupBy shuffle) feeds member_map
-        # AND the band_input semi join. Both are pinned inside the
-        # collapse scope; member_map is eagerly checkpointed (two
-        # narrow columns, O(corpus) rows) so the returned lazy tail
-        # doesn't re-run either after the scope releases the pins.
+        # Pin hygiene + footprint: the map only needs docs in
+        # MULTI-member exact groups (web corpora: the duplicate
+        # minority) — singletons are their own reps and need neither a
+        # fan-out row nor exclusion from banding. fpm (the full-corpus
+        # fingerprint scan) is pinned for its two consumers; the
+        # checkpointed member_map is O(duplicate docs), not O(corpus).
         with PinScope():
             fpm = pin(df.select(
                 F.col(id_col),
                 F.coalesce(doc_fingerprint(F.col(text_col)),
                            F.lit("\x00null-text")).alias("_xfp"),
             ))
-            grp = pin(fpm.filter(F.col(id_col).isNotNull())
-                      .groupBy("_xfp").agg(F.min(id_col).alias("_grep")))
+            grp_multi = (
+                fpm.filter(F.col(id_col).isNotNull())
+                .groupBy("_xfp")
+                .agg(F.min(id_col).alias("_grep"),
+                     F.count_distinct(F.col(id_col)).alias("_gn"))
+                .filter(F.col("_gn") >= 2)
+                .select("_xfp", "_grep")
+            )
             member_map = (
-                fpm.join(grp, "_xfp", "left")
+                fpm.filter(F.col(id_col).isNotNull())
+                .join(grp_multi, "_xfp")
                 .groupBy(id_col)  # one row per id even under dup-id input
                 .agg(F.min("_grep").alias("_grep"))
-                .select(
-                    id_col,
-                    F.when(F.col(id_col).isNull(), F.col(id_col))
-                    .otherwise(F.coalesce(F.col("_grep"), F.col(id_col)))
-                    .alias("_grep"),
-                )
             ).localCheckpoint(eager=True)
-            # Band only the group representatives (semi join keeps df's
-            # columns/text without the text ever entering the group
-            # map). Built from the pinned grp; consumed (and
-            # checkpointed via `pairs`) before the scope releases.
+            # Band everything except the non-rep members of multi
+            # groups (anti join against the small dup-member set) —
+            # df's text column never enters the group map.
             band_input = df.join(
-                grp.select(F.col("_grep").alias(id_col)), id_col, "semi"
+                member_map.filter(F.col(id_col) != F.col("_grep"))
+                .select(id_col),
+                id_col, "anti",
             )
             pairs_pre = minhash_lsh_dedup_pairs(
                 band_input, id_col, text_col, n=n, threshold=threshold,
@@ -354,16 +356,21 @@ def dedup_assignments(
         pairs = pairs.localCheckpoint(eager=True)
     assigned = _cc_assignments(pairs, id_col)
     if member_map is not None:
-        # Fan cluster assignments back out: every member inherits its
-        # group rep's component rep; groups whose rep is in no pair
-        # keep the group rep (= min member id, the old path's answer
-        # for an all-identical cluster).
-        return member_map.join(
-            assigned.select(F.col(id_col).alias("_grep"), "_rep"),
-            "_grep", "left",
-        ).select(
-            id_col,
-            F.coalesce(F.col("_rep"), F.col("_grep")).alias("rep_id"),
+        # Fan cluster assignments back out: dup-group members inherit
+        # their group rep's component rep (groups whose rep is in no
+        # pair keep the group rep — the min member id, the old path's
+        # answer for an all-identical cluster); every other doc maps
+        # through itself.
+        return (
+            df.select(id_col).distinct()
+            .join(member_map, id_col, "left")
+            .withColumn("_g", F.coalesce(F.col("_grep"), F.col(id_col)))
+            .join(assigned.select(F.col(id_col).alias("_g"), "_rep"),
+                  "_g", "left")
+            .select(
+                id_col,
+                F.coalesce(F.col("_rep"), F.col("_g")).alias("rep_id"),
+            )
         )
     return (
         df.select(id_col).distinct()
