@@ -324,6 +324,47 @@ def _q_kg_connected_components(spark, sf_dir):
     )
 
 
+def _q_kg_alias_link(spark, sf_dir):
+    """Alias-dictionary linking (J3) as a driver oracle: an alias dict
+    synthesized from customer names with case / dot / whitespace
+    perturbations PLUS a deliberate ambiguous second mapping per
+    surface ('d:<k>' vs 'c:<k>' — the deterministic min-by-canonical
+    pick must win), resolved against a mention stream from orders where
+    every 4th mention is an unresolvable surface (stays null for the
+    LSH stage). The oracle re-implements normalize_surface in SQL
+    (lower/trim -> strip dots -> collapse whitespace)."""
+    from redisgraph_bulk_loader_spark.link.alias import link_mentions
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    ck = F.col("c_custkey").cast("string")
+    aliases = customer.select(
+        F.upper("c_name").alias("surface"),
+        F.concat(F.lit("c:"), ck).alias("canonical_id"),
+    ).unionByName(
+        customer.select(
+            F.concat(
+                F.lit("  "), F.regexp_replace("c_name", "#", ".#"), F.lit(" ")
+            ).alias("surface"),
+            F.concat(F.lit("d:"), ck).alias("canonical_id"),
+        )
+    )
+    mentions = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_name")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("o_orderkey").alias("mention_id"),
+        F.concat(F.upper("c_name"), F.lit(" ")).alias("subj_surface"),
+        F.when(
+            F.col("o_orderkey") % 4 == 0,
+            F.concat(F.lit("nobody "), F.col("o_orderkey").cast("string")),
+        ).otherwise(F.regexp_replace("c_name", "#", ".#")).alias("obj_surface"),
+    )
+    return link_mentions(mentions, aliases).select(
+        "mention_id", "subj_cid", "obj_cid"
+    )
+
+
 def _q_media_features(spark, sf_dir):
     """Multimodal plumbing with an exact oracle over every
     SQL-derivable surface: mime/size metadata of the binary payloads
@@ -596,6 +637,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_windowed": _q_events_windowed,
         "kg_salted_join": _q_kg_salted_join,
         "kg_connected_components": _q_kg_connected_components,
+        "kg_alias_link": _q_kg_alias_link,
         "kg_loader_types": _q_kg_loader_types,
         "kg_loader_enforced": _q_kg_loader_enforced,
         "ann_self_join": _q_ann_self_join,
@@ -1120,6 +1162,45 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
             )
             SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+        """,
+        "kg_alias_link": """
+            WITH aliases AS (
+              SELECT upper(c_name) AS surface,
+                     'c:' || CAST(c_custkey AS VARCHAR) AS canonical_id
+              FROM customer
+              UNION ALL
+              SELECT '  ' || replace(c_name, '#', '.#') || ' ' AS surface,
+                     'd:' || CAST(c_custkey AS VARCHAR) AS canonical_id
+              FROM customer
+            ),
+            dim AS (
+              SELECT regexp_replace(replace(lower(trim(surface)), '.', ''),
+                                    '\\s+', ' ', 'g') AS nrm,
+                     min(canonical_id) AS canonical_id
+              FROM aliases
+              WHERE surface IS NOT NULL AND canonical_id IS NOT NULL
+              GROUP BY nrm
+            ),
+            mentions AS (
+              SELECT o_orderkey AS mention_id,
+                     upper(c_name) || ' ' AS subj_surface,
+                     CASE WHEN o_orderkey % 4 = 0
+                          THEN 'nobody ' || CAST(o_orderkey AS VARCHAR)
+                          ELSE replace(c_name, '#', '.#') END AS obj_surface
+              FROM orders JOIN customer ON o_custkey = c_custkey
+            )
+            SELECT m.mention_id,
+                   ds.canonical_id AS subj_cid,
+                   dobj.canonical_id AS obj_cid
+            FROM mentions m
+            LEFT JOIN dim ds
+              ON ds.nrm = regexp_replace(
+                   replace(lower(trim(m.subj_surface)), '.', ''),
+                   '\\s+', ' ', 'g')
+            LEFT JOIN dim dobj
+              ON dobj.nrm = regexp_replace(
+                   replace(lower(trim(m.obj_surface)), '.', ''),
+                   '\\s+', ' ', 'g')
         """,
         "kg_loader_types": """
             SELECT internal_id, key, props_json
