@@ -8,7 +8,14 @@ at one-to-three orders above the bench corpus:
   at fact scale;
 - ``ann_self_join_pairs`` over ``n_vecs`` synthesized 64-d embeddings
   with planted near-duplicate groups — exercises the hyperplane
-  signature UDF + banded self-join + exact-cosine verify.
+  signature UDF + banded self-join + exact-cosine verify;
+- ``embedding_dedup_assignments`` over the same vectors — the full
+  vector-dedup composition (pairs -> connected components -> rep
+  fan-out), checked against the planted group structure (each 5-group
+  must collapse to its min id).
+
+Pass ``n_docs=0`` to skip the text-dedup section and soak only the
+vector family.
 
 Embeddings are pure JVM column expressions (hash-derived, deterministic
 — no RNG, no Python on the synthesis path): ids in the same group of
@@ -64,7 +71,10 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     from redisgraph_bulk_loader_spark.cache import release_pins
-    from redisgraph_bulk_loader_spark.operators.dedup import dedup_assignments
+    from redisgraph_bulk_loader_spark.operators.dedup import (
+        dedup_assignments,
+        embedding_dedup_assignments,
+    )
     from redisgraph_bulk_loader_spark.operators.similarity import (
         ann_self_join_pairs,
     )
@@ -84,41 +94,42 @@ def main():
         # 30 "wNNN" vocab words as flat codegen'd hash columns — a
         # transform()/element_at HOF form is interpreted row-at-a-time
         # and measured ~10x slower.
-        mod = F.col("id") % 20
-        base = (
-            F.when(F.col("id") < 1000, F.lit(-1))
-            .when(mod <= 3, F.col("id") - (F.col("id") % 2))
-            .otherwise(F.col("id"))
-        )
-        words = [
-            F.concat(F.lit("w"),
-                     F.pmod(F.xxhash64(base, F.lit(j)),
-                            F.lit(1000)).cast("string"))
-            for j in range(30)
-        ]
-        tail = F.when(
-            (F.col("id") >= 1000) & ((mod == 2) | (mod == 3)),
-            F.concat(F.lit(" uniq"), F.col("id").cast("string")),
-        ).otherwise(F.lit(""))
-        text = F.concat(F.concat_ws(" ", *words), tail)
-        corpus = os.path.join(out_root, "corpus")
-        t0 = time.time()
-        (spark.range(0, n_docs, numPartitions=int(cpus) * 4)
-         .select(F.col("id").cast("string").alias("doc_id"),
-                 text.alias("text"))
-         .write.parquet(corpus))
-        out["synth_docs_sec"] = round(time.time() - t0, 1)
-        docs = spark.read.parquet(corpus)
-        t0 = time.time()
-        assignments = dedup_assignments(docs, "doc_id", "text",
-                                        threshold=0.5, method="minhash")
-        n_deduped = assignments.filter(
-            F.col("doc_id") != F.col("rep_id")).count()
-        wall = time.time() - t0
-        release_pins()
-        out["dedup_wall_sec"] = round(wall, 1)
-        out["dedup_docs_per_sec"] = round(n_docs / wall, 1)
-        out["dedup_merged_rows"] = n_deduped
+        if n_docs > 0:
+            mod = F.col("id") % 20
+            base = (
+                F.when(F.col("id") < 1000, F.lit(-1))
+                .when(mod <= 3, F.col("id") - (F.col("id") % 2))
+                .otherwise(F.col("id"))
+            )
+            words = [
+                F.concat(F.lit("w"),
+                         F.pmod(F.xxhash64(base, F.lit(j)),
+                                F.lit(1000)).cast("string"))
+                for j in range(30)
+            ]
+            tail = F.when(
+                (F.col("id") >= 1000) & ((mod == 2) | (mod == 3)),
+                F.concat(F.lit(" uniq"), F.col("id").cast("string")),
+            ).otherwise(F.lit(""))
+            text = F.concat(F.concat_ws(" ", *words), tail)
+            corpus = os.path.join(out_root, "corpus")
+            t0 = time.time()
+            (spark.range(0, n_docs, numPartitions=int(cpus) * 4)
+             .select(F.col("id").cast("string").alias("doc_id"),
+                     text.alias("text"))
+             .write.parquet(corpus))
+            out["synth_docs_sec"] = round(time.time() - t0, 1)
+            docs = spark.read.parquet(corpus)
+            t0 = time.time()
+            assignments = dedup_assignments(docs, "doc_id", "text",
+                                            threshold=0.5, method="minhash")
+            n_deduped = assignments.filter(
+                F.col("doc_id") != F.col("rep_id")).count()
+            wall = time.time() - t0
+            release_pins()
+            out["dedup_wall_sec"] = round(wall, 1)
+            out["dedup_docs_per_sec"] = round(n_docs / wall, 1)
+            out["dedup_merged_rows"] = n_deduped
 
         # --- ANN self-join over n_vecs ----------------------------------
         # groups of 5: shared hash-derived base + 1% per-id jitter
@@ -158,6 +169,22 @@ def main():
         out["ann_pairs"] = n_pairs
         out["ann_intra_group_pairs"] = n_intra
         out["ann_planted_pairs"] = (n_vecs // group) * (group * (group - 1) // 2)
+
+        # --- embedding-dedup composition over the same vectors ----------
+        # pairs -> connected components -> rep fan-out. Planted
+        # expectation: every 5-group collapses to its min id, so
+        # merged == n_vecs * (group-1)/group minus banding misses.
+        t0 = time.time()
+        emb_assign = embedding_dedup_assignments(
+            vecs, threshold=0.98, bits=64, bands=4, dim=dim)
+        n_merged = emb_assign.filter(
+            F.col("vec_id") != F.col("rep_id")).count()
+        wall = time.time() - t0
+        release_pins()
+        out["emb_dedup_wall_sec"] = round(wall, 1)
+        out["emb_dedup_vecs_per_sec"] = round(n_vecs / wall, 1)
+        out["emb_dedup_merged_rows"] = n_merged
+        out["emb_dedup_expected_rows"] = n_vecs - (n_vecs + group - 1) // group
 
         out["jvm_peak_rss_mb"] = _vm_hwm_kb(jvm_pid) // 1024
         out["python_driver_peak_rss_mb"] = _vm_hwm_kb("self") // 1024
