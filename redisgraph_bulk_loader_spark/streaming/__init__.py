@@ -6,6 +6,7 @@ from .stream import (  # noqa: F401
     windowed_event_counts,
 )
 from .stateful import (  # noqa: F401
+    dedup_stream,
     sessionize_stream,
     sessionize_stream_tws,
 )

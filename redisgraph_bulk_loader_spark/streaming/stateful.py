@@ -168,3 +168,81 @@ def sessionize_stream_tws(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def dedup_stream(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """Streaming exact-dedup on ingest: each distinct document content
+    is emitted ONCE across the life of the stream; re-occurrences in
+    later micro-batches are dropped. The dedup key is the SAME
+    ``doc_fingerprint`` (md5 of whitespace-normalized text) the batch
+    ``exact_dedup`` uses, so a corpus deduped on ingest equals the
+    batch-deduped corpus when every duplicate group's first arrival is
+    its min id; within one micro-batch the min-``id_col`` row survives
+    (exactly the batch operator's window rule, deterministic under
+    Arrow chunking). Null/whitespace-only texts share one sentinel
+    fingerprint group — GROUP BY null semantics, matching the batch
+    window partition.
+
+    Output: the surviving input rows (input schema, append mode).
+
+    State is one marker per distinct fingerprint — unbounded over an
+    unbounded stream. ``state_ttl_ms`` bounds it with a
+    processing-time timeout: a fingerprint idle longer than the TTL is
+    forgotten (its next occurrence re-emits — the standard
+    bounded-state dedup tradeoff, equivalent to Spark's own
+    ``dropDuplicates`` + watermark behavior). Default: exact forever.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import StructType
+
+    from ..functions.text import doc_fingerprint
+
+    in_fields = list(docs.schema.fields)
+    out_schema = StructType(in_fields)
+    cols = [f.name for f in in_fields]
+
+    fp = F.coalesce(
+        doc_fingerprint(F.col(text_col)), F.lit("\x00null")
+    )
+    keyed = docs.withColumn("_fp", fp)
+
+    def fn(key, pdfs: Iterator["pd.DataFrame"], state):
+        if state.hasTimedOut:
+            # idle past the TTL: forget the fingerprint (next
+            # occurrence re-emits); emit nothing now
+            state.remove()
+            return
+        seen = state.exists
+        best = None
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            if seen:
+                continue  # duplicate content from an earlier batch
+            # stable sort, not idxmin: argmin is undefined for
+            # object-dtype (string) id columns
+            cand = pdf.sort_values(id_col, kind="mergesort").iloc[0]
+            if best is None or cand[id_col] < best[id_col]:
+                best = cand
+        state.update((1,))
+        if state_ttl_ms is not None:
+            state.setTimeoutDuration(state_ttl_ms)
+        if best is not None and not seen:
+            yield pd.DataFrame([best[cols].to_dict()])
+
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return keyed.groupBy("_fp").applyInPandasWithState(
+        fn, out_schema, "seen long", "append", timeout
+    )

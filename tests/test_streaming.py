@@ -435,3 +435,94 @@ class TestSessionizeCustomKeyColumn:
         assert key_field.dataType.typeName() == "string"
         assert [f.name for f in out_schema.fields] == [
             "device", "n_sessions", "n_events"]
+
+
+class TestStreamingDedup:
+    def _run(self, spark, src, ckpt, emitted, **kw):
+        from redisgraph_bulk_loader_spark.streaming.stateful import (
+            dedup_stream,
+        )
+
+        def sink(batch_df, _bid):
+            emitted.extend(
+                (r.doc_id, r.text) for r in batch_df.collect())
+
+        stream = spark.readStream.schema(
+            "doc_id long, text string").parquet(str(src / "*"))
+        q = (
+            dedup_stream(stream, **kw)
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    def test_cross_batch_suppression_min_id_survives(self, spark, tmp_path):
+        """Within a batch the min-id row of a duplicate-content group
+        survives (batch exact_dedup's window rule — note ' x ' and 'X'
+        share a fingerprint via the normalizing doc_fingerprint);
+        across availableNow runs the restored state suppresses
+        re-occurrences even when the later id is smaller."""
+        src = tmp_path / "src"
+        src.mkdir()
+        emitted = []
+        spark.createDataFrame(
+            [(5, "X"), (2, " x  "), (7, "Y")], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(src / "b1"))
+        self._run(spark, src, tmp_path / "ckpt", emitted)
+        assert sorted(r[0] for r in emitted) == [2, 7]
+
+        spark.createDataFrame(
+            [(1, "X"), (9, "Z")], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(src / "b2"))
+        self._run(spark, src, tmp_path / "ckpt", emitted)
+        assert sorted(r[0] for r in emitted) == [2, 7, 9]
+
+    def test_single_batch_matches_batch_exact_dedup(self, spark, tmp_path):
+        """One micro-batch of the stream == the batch operator on the
+        same rows (same fingerprint, same min-id survivor rule)."""
+        from redisgraph_bulk_loader_spark.operators.dedup import exact_dedup
+
+        rows = [(4, "a b"), (3, "A  B"), (8, "c"), (6, None), (9, None)]
+        src = tmp_path / "src"
+        src.mkdir()
+        emitted = []
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.coalesce(1).write.parquet(str(src / "b1"))
+        self._run(spark, src, tmp_path / "ckpt", emitted)
+        want = sorted(
+            r.doc_id for r in exact_dedup(df, "doc_id", "text").collect())
+        assert sorted(r[0] for r in emitted) == want == [3, 6, 8]
+
+    def test_ttl_expires_state_and_reemits(self, spark, tmp_path):
+        """With state_ttl_ms, a fingerprint idle past the TTL is
+        forgotten: a later re-occurrence emits again (bounded-state
+        dedup tradeoff). Expiry fires on the first batch processed
+        after the idle window — batch 2 carries unrelated content to
+        trigger it, batch 3 re-introduces the content."""
+        import time
+
+        src = tmp_path / "src"
+        src.mkdir()
+        emitted = []
+        kw = {"state_ttl_ms": 1}
+        spark.createDataFrame(
+            [(1, "A")], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(src / "b1"))
+        self._run(spark, src, tmp_path / "ckpt", emitted, **kw)
+        assert [r[0] for r in emitted] == [1]
+
+        time.sleep(1.0)  # >> 1 ms TTL
+        spark.createDataFrame(
+            [(50, "B")], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(src / "b2"))
+        self._run(spark, src, tmp_path / "ckpt", emitted, **kw)
+        assert sorted(r[0] for r in emitted) == [1, 50]
+
+        spark.createDataFrame(
+            [(99, "A")], "doc_id long, text string"
+        ).coalesce(1).write.parquet(str(src / "b3"))
+        self._run(spark, src, tmp_path / "ckpt", emitted, **kw)
+        assert sorted(r[0] for r in emitted) == [1, 50, 99]
