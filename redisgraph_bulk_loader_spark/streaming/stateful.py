@@ -246,3 +246,70 @@ def dedup_stream(
     return keyed.groupBy("_fp").applyInPandasWithState(
         fn, out_schema, "seen long", "append", timeout
     )
+
+
+def dedup_stream_tws(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    state_ttl_ms: int | None = None,
+) -> DataFrame:
+    """``dedup_stream`` on Spark 4's successor stateful API
+    (``transformWithStateInPandas``): same fingerprint key, same
+    min-``id_col``-within-batch / suppress-across-batches semantics.
+    The TTL maps to the API's NATIVE per-state TTL
+    (``getValueState(ttlDurationMs=...)`` under
+    ``timeMode='ProcessingTime'``) instead of a hand-rolled timeout
+    callback — an expired fingerprint is simply absent on its next
+    read, so the content re-emits. The applyInPandasWithState form
+    remains for API parity; this is the forward-compatible path."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.types import StructType
+
+    from ..functions.text import doc_fingerprint
+
+    in_fields = list(docs.schema.fields)
+    out_schema = StructType(in_fields)
+    cols = [f.name for f in in_fields]
+    ttl = state_ttl_ms
+
+    fp = F.coalesce(
+        doc_fingerprint(F.col(text_col)), F.lit("\x00null")
+    )
+    keyed = docs.withColumn("_fp", fp)
+
+    class _DedupProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen", "seen long", ttlDurationMs=ttl)
+
+        def handleInputRows(self, key, rows, timerValues):
+            seen = self._seen.exists()
+            best = None
+            for pdf in rows:
+                if not len(pdf) or seen:
+                    continue
+                # stable sort, not idxmin: argmin is undefined for
+                # object-dtype (string) id columns
+                cand = pdf.sort_values(id_col, kind="mergesort").iloc[0]
+                if best is None or cand[id_col] < best[id_col]:
+                    best = cand
+            self._seen.update((1,))
+            if best is not None and not seen:
+                yield pd.DataFrame([best[cols].to_dict()])
+
+        def close(self) -> None:
+            pass
+
+    return keyed.groupBy("_fp").transformWithStateInPandas(
+        statefulProcessor=_DedupProcessor(),
+        outputStructType=out_schema,
+        outputMode="Append",
+        timeMode="ProcessingTime" if ttl is not None else "None",
+    )

@@ -526,3 +526,83 @@ class TestStreamingDedup:
         ).coalesce(1).write.parquet(str(src / "b3"))
         self._run(spark, src, tmp_path / "ckpt", emitted, **kw)
         assert sorted(r[0] for r in emitted) == [1, 50, 99]
+
+
+class TestStreamingDedupTws:
+    def test_tws_plan_and_schema(self, spark, tmp_path):
+        """Plan construction and the output-schema contract need no
+        state-server runtime: output schema == input schema (surviving
+        rows pass through), TTL config accepted."""
+        from redisgraph_bulk_loader_spark.streaming.stateful import (
+            dedup_stream_tws,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        stream = spark.readStream.schema(
+            "doc_id string, text string").parquet(str(src / "*"))
+        out = dedup_stream_tws(stream, state_ttl_ms=60_000)
+        assert out.isStreaming
+        assert out.schema.simpleString() == \
+            "struct<doc_id:string,text:string>"
+
+    @pytest.mark.skipif(
+        not _HAS_PROTOBUF,
+        reason="transformWithStateInPandas needs protobuf (its state-"
+               "server protocol); not installed in this sandbox",
+    )
+    def test_tws_cross_batch_suppression(self, spark, tmp_path):
+        """Same semantics as TestStreamingDedup on the successor API:
+        min-id survives within a batch, restored state suppresses
+        across availableNow runs. Requires the RocksDB provider."""
+        from redisgraph_bulk_loader_spark.streaming.stateful import (
+            dedup_stream_tws,
+        )
+
+        prev_provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass", None)
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        try:
+            src = tmp_path / "src"
+            src.mkdir()
+            emitted = []
+
+            def run_once():
+                q = (
+                    dedup_stream_tws(
+                        spark.readStream.schema("doc_id long, text string")
+                        .parquet(str(src / "*")))
+                    .writeStream.foreachBatch(
+                        lambda df, _b: emitted.extend(
+                            r.doc_id for r in df.collect()))
+                    .outputMode("append")
+                    .option("checkpointLocation", str(tmp_path / "ckpt"))
+                    .trigger(availableNow=True)
+                    .start()
+                )
+                q.awaitTermination(120)
+
+            spark.createDataFrame(
+                [(5, "X"), (2, " x  "), (7, "Y")],
+                "doc_id long, text string",
+            ).coalesce(1).write.parquet(str(src / "b1"))
+            run_once()
+            assert sorted(emitted) == [2, 7]
+
+            spark.createDataFrame(
+                [(1, "X"), (9, "Z")], "doc_id long, text string"
+            ).coalesce(1).write.parquet(str(src / "b2"))
+            run_once()
+            assert sorted(emitted) == [2, 7, 9]
+        finally:
+            if prev_provider is not None:
+                spark.conf.set(
+                    "spark.sql.streaming.stateStore.providerClass",
+                    prev_provider)
+            else:
+                spark.conf.unset(
+                    "spark.sql.streaming.stateStore.providerClass")
