@@ -170,11 +170,28 @@ def sessionize_stream_tws(
     )
 
 
+def _dedup_key(text_col, key_col):
+    """Dedup-key expression shared by both streaming dedup variants:
+    ``doc_fingerprint`` of ``text_col`` by default (the batch
+    ``exact_dedup`` key), or the caller's ``key_col`` Column for
+    non-flat-text inputs (e.g. ``md5(to_json(struct(spans)))`` for
+    spans-documents). Null keys share one sentinel group — GROUP BY
+    null semantics, matching the batch window partition."""
+    from pyspark.sql import functions as F
+
+    from ..functions.text import doc_fingerprint
+
+    key = key_col if key_col is not None else doc_fingerprint(
+        F.col(text_col))
+    return F.coalesce(key.cast("string"), F.lit("\x00null"))
+
+
 def dedup_stream(
     docs: DataFrame,
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    key_col=None,
     state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """Streaming exact-dedup on ingest: each distinct document content
@@ -187,7 +204,9 @@ def dedup_stream(
     (exactly the batch operator's window rule, deterministic under
     Arrow chunking). Null/whitespace-only texts share one sentinel
     fingerprint group — GROUP BY null semantics, matching the batch
-    window partition.
+    window partition. For inputs without a flat text column pass
+    ``key_col`` (a Column producing the dedup key, e.g.
+    ``F.md5(F.to_json(F.struct("spans")))``).
 
     Output: the surviving input rows (input schema, append mode).
 
@@ -199,20 +218,14 @@ def dedup_stream(
     ``dropDuplicates`` + watermark behavior). Default: exact forever.
     """
     import pandas as pd
-    from pyspark.sql import functions as F
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import StructType
-
-    from ..functions.text import doc_fingerprint
 
     in_fields = list(docs.schema.fields)
     out_schema = StructType(in_fields)
     cols = [f.name for f in in_fields]
 
-    fp = F.coalesce(
-        doc_fingerprint(F.col(text_col)), F.lit("\x00null")
-    )
-    keyed = docs.withColumn("_fp", fp)
+    keyed = docs.withColumn("_fp", _dedup_key(text_col, key_col))
 
     def fn(key, pdfs: Iterator["pd.DataFrame"], state):
         if state.hasTimedOut:
@@ -253,6 +266,7 @@ def dedup_stream_tws(
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
+    key_col=None,
     state_ttl_ms: int | None = None,
 ) -> DataFrame:
     """``dedup_stream`` on Spark 4's successor stateful API
@@ -265,24 +279,18 @@ def dedup_stream_tws(
     read, so the content re-emits. The applyInPandasWithState form
     remains for API parity; this is the forward-compatible path."""
     import pandas as pd
-    from pyspark.sql import functions as F
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
     )
     from pyspark.sql.types import StructType
 
-    from ..functions.text import doc_fingerprint
-
     in_fields = list(docs.schema.fields)
     out_schema = StructType(in_fields)
     cols = [f.name for f in in_fields]
     ttl = state_ttl_ms
 
-    fp = F.coalesce(
-        doc_fingerprint(F.col(text_col)), F.lit("\x00null")
-    )
-    keyed = docs.withColumn("_fp", fp)
+    keyed = docs.withColumn("_fp", _dedup_key(text_col, key_col))
 
     class _DedupProcessor(StatefulProcessor):
         def init(self, handle: StatefulProcessorHandle) -> None:

@@ -62,16 +62,20 @@ def stream_events_to_graph(
     *,
     checkpoint_dir: str,
     trigger_once: bool = True,
+    output_mode: str = "update",
 ):
     """Wire a streaming events DataFrame into micro-batched graph
     updates. ``apply_batch(batch_df, batch_id)`` performs the MERGE
     (typically incremental_graph_update + catalog write). Returns the
     StreamingQuery. Watermarking/dedup belongs to the caller's
-    transformations on ``events_stream``."""
+    transformations on ``events_stream``; a stream carrying an
+    append-mode stateful operator (e.g. ``dedup_stream``) must pass
+    ``output_mode='append'`` — Spark's unsupported-operation check
+    rejects it under the default update mode."""
     writer = (
         events_stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
+        .outputMode(output_mode)
     )
     if trigger_once:
         writer = writer.trigger(availableNow=True)
@@ -87,6 +91,8 @@ def stream_documents_to_graph(
     table: str = "triples_stream",
     trigger_once: bool = True,
     compact_every: Optional[int] = None,
+    dedup_exact: bool = False,
+    dedup_ttl_ms: Optional[int] = None,
 ):
     """Streaming KG ingestion: a readStream of spans-documents flows
     through the SAME batch operators (extract_mentions ->
@@ -106,8 +112,26 @@ def stream_documents_to_graph(
     accumulated table — document-level extraction+linking is the
     per-batch increment.
 
+    ``dedup_exact=True`` interposes the stateful ingest dedup
+    (``dedup_stream``) BEFORE extraction, keyed on the canonical JSON
+    of the span sequence (the per-row invariant the pipeline
+    preserves): a document whose exact span content already flowed
+    through the stream is dropped, so re-crawled/replayed pages never
+    re-extract or re-land triples. ``dedup_ttl_ms`` bounds that state
+    (idle fingerprints are forgotten and re-emit — the standard
+    bounded-state tradeoff); default is exact-forever.
+
     Returns the StreamingQuery."""
     from ..extract import extract_mentions
+
+    if dedup_exact:
+        from .stateful import dedup_stream
+
+        docs_stream = dedup_stream(
+            docs_stream,
+            key_col=F.md5(F.to_json(F.col("spans"))),
+            state_ttl_ms=dedup_ttl_ms,
+        )
 
     def apply(batch_df: DataFrame, batch_id: int) -> None:
         from ..link import link_mentions
@@ -134,6 +158,7 @@ def stream_documents_to_graph(
     return stream_events_to_graph(
         docs_stream, apply, checkpoint_dir=checkpoint_dir,
         trigger_once=trigger_once,
+        output_mode="append" if dedup_exact else "update",
     )
 
 

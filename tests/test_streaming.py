@@ -331,6 +331,72 @@ class TestStreamingKgIngestion:
         b = sorted(tuple(r) for r in expected.collect())
         assert a == b and len(a) > n1
 
+    def test_ingest_dedup_suppresses_replayed_documents(
+        self, spark, tmp_path
+    ):
+        """``dedup_exact=True``: batch 2 replays batch 1's documents
+        under NEW doc_ids (a re-crawl) plus one genuinely new
+        document. The span-content-keyed ingest dedup drops the
+        replays before extraction, so the accumulated table gains only
+        the new document's triples — while a dedup-off control ingests
+        the replayed content again."""
+        from redisgraph_bulk_loader_spark.link import build_alias_dim
+        from redisgraph_bulk_loader_spark.materialize import GraphCatalog
+        from redisgraph_bulk_loader_spark.sources import (
+            alias_table,
+            synthesize_documents,
+        )
+        from redisgraph_bulk_loader_spark.streaming import (
+            stream_documents_to_graph,
+        )
+
+        docs = synthesize_documents(spark, 30, seed=7).persist()
+        b1 = docs.filter(F.col("doc_id") < "doc-000000020")
+        replayed = (
+            b1.withColumn(
+                "doc_id", F.concat(F.lit("re-"), F.col("doc_id")))
+        )
+        fresh = docs.filter(F.col("doc_id") >= "doc-000000020")
+        schema = docs.schema
+        dim = build_alias_dim(alias_table(spark))
+
+        def run(name, dedup):
+            src = tmp_path / f"{name}_src"
+            src.mkdir()
+            cat = GraphCatalog(spark, str(tmp_path / f"{name}_cat"))
+
+            def once():
+                stream = spark.readStream.schema(schema).parquet(
+                    str(src / "*"))
+                q = stream_documents_to_graph(
+                    stream, dim, cat,
+                    checkpoint_dir=str(tmp_path / f"{name}_ckpt"),
+                    dedup_exact=dedup,
+                )
+                q.awaitTermination(120)
+
+            b1.coalesce(1).write.parquet(str(src / "b1"))
+            once()
+            n1 = cat.read("triples_stream").count()
+            replayed.unionByName(fresh).coalesce(1).write.parquet(
+                str(src / "b2"))
+            once()
+            return n1, cat.read("triples_stream")
+
+        n1, deduped = run("dd", True)
+        _, control = run("ctl", False)
+
+        # dedup: batch 2 contributes only the fresh docs' triples
+        dd_docs = {r.doc_id for r in deduped.select("doc_id")
+                   .distinct().collect()}
+        assert not any(d.startswith("re-") for d in dd_docs)
+        assert deduped.count() > n1  # fresh doc did land
+        # control ingests the replayed content a second time
+        ctl_docs = {r.doc_id for r in control.select("doc_id")
+                    .distinct().collect()}
+        assert any(d.startswith("re-") for d in ctl_docs)
+        assert control.count() > deduped.count()
+
 
 class TestChunkOrderSessionize:
     def test_multi_chunk_batch_sorted_globally(self, spark, tmp_path):
@@ -496,6 +562,50 @@ class TestStreamingDedup:
             r.doc_id for r in exact_dedup(df, "doc_id", "text").collect())
         assert sorted(r[0] for r in emitted) == want == [3, 6, 8]
 
+    def test_key_col_spans_documents(self, spark, tmp_path):
+        """``key_col`` deduplicates inputs without a flat text column:
+        interleaved spans-documents keyed on the canonical JSON of the
+        span sequence (the per-row invariant the pipeline preserves).
+        Doc 20 repeats doc 10's span sequence exactly and is dropped;
+        doc 30 differs only in one offset and survives."""
+        from pyspark.sql import functions as F
+
+        from redisgraph_bulk_loader_spark.streaming.stateful import (
+            dedup_stream,
+        )
+
+        schema = (
+            "doc_id long, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>"
+        )
+        s1 = [("text", "alpha", None, 0), ("image", None, "m/1.png", 5)]
+        s3 = [("text", "alpha", None, 0), ("image", None, "m/1.png", 6)]
+        src = tmp_path / "src"
+        src.mkdir()
+        spark.createDataFrame(
+            [(10, s1), (20, list(s1)), (30, s3)], schema
+        ).coalesce(1).write.parquet(str(src / "b1"))
+
+        emitted = []
+
+        def sink(batch_df, _bid):
+            emitted.extend(r.doc_id for r in batch_df.collect())
+
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        q = (
+            dedup_stream(
+                stream,
+                key_col=F.md5(F.to_json(F.col("spans"))),
+            )
+            .writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert sorted(emitted) == [10, 30]
+
     def test_ttl_expires_state_and_reemits(self, spark, tmp_path):
         """With state_ttl_ms, a fingerprint idle past the TTL is
         forgotten: a later re-occurrence emits again (bounded-state
@@ -545,6 +655,27 @@ class TestStreamingDedupTws:
         assert out.isStreaming
         assert out.schema.simpleString() == \
             "struct<doc_id:string,text:string>"
+
+    def test_tws_key_col_plan(self, spark, tmp_path):
+        """``key_col`` builds on the TWS twin too (shared _dedup_key):
+        a spans-only input needs no text column at all."""
+        from pyspark.sql import functions as F
+
+        from redisgraph_bulk_loader_spark.streaming.stateful import (
+            dedup_stream_tws,
+        )
+
+        src = tmp_path / "src"
+        src.mkdir()
+        schema = (
+            "doc_id long, spans array<struct<kind:string,text:string,"
+            "media_ref:string,offset:int>>"
+        )
+        stream = spark.readStream.schema(schema).parquet(str(src / "*"))
+        out = dedup_stream_tws(
+            stream, key_col=F.md5(F.to_json(F.col("spans"))))
+        assert out.isStreaming
+        assert [f.name for f in out.schema.fields] == ["doc_id", "spans"]
 
     @pytest.mark.skipif(
         not _HAS_PROTOBUF,
