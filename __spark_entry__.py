@@ -324,6 +324,40 @@ def _q_kg_connected_components(spark, sf_dir):
     )
 
 
+def _q_kg_incremental_merge(spark, sf_dir):
+    """Incremental MERGE semantics (S5 / reference bulk_update row
+    application) as a driver oracle: an existing node table (customers
+    with c_custkey % 4 != 0 — so every 4th customer's update is an
+    INSERT) upserted with one proposed update per order row, last
+    occurrence by file order (o_orderkey) winning per key — exactly the
+    reference's strictly-in-file-order row application
+    (bulk_update.py:106-119). Keys without updates keep their original
+    row; acctbal/name ride through untouched so the hash compares raw
+    doubles bit-for-bit."""
+    from redisgraph_bulk_loader_spark.streaming.stream import (
+        incremental_graph_update,
+    )
+
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    existing = customer.filter(F.col("c_custkey") % 4 != 0).select(
+        F.col("c_custkey").alias("ext_id"),
+        F.col("c_name").alias("name"),
+        F.col("c_acctbal").alias("acctbal"),
+    )
+    updates = orders.select(
+        F.col("o_custkey").alias("ext_id"),
+        F.concat(
+            F.lit("upd-"), F.col("o_orderkey").cast("string")
+        ).alias("name"),
+        F.col("o_totalprice").alias("acctbal"),
+        F.col("o_orderkey").alias("row_idx"),
+    )
+    return incremental_graph_update(
+        existing, updates, ["ext_id"], order_col="row_idx"
+    )
+
+
 def _q_kg_alias_link(spark, sf_dir):
     """Alias-dictionary linking (J3) as a driver oracle: an alias dict
     synthesized from customer names with case / dot / whitespace
@@ -638,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_salted_join": _q_kg_salted_join,
         "kg_connected_components": _q_kg_connected_components,
         "kg_alias_link": _q_kg_alias_link,
+        "kg_incremental_merge": _q_kg_incremental_merge,
         "kg_loader_types": _q_kg_loader_types,
         "kg_loader_enforced": _q_kg_loader_enforced,
         "ann_self_join": _q_ann_self_join,
@@ -1162,6 +1197,29 @@ def oracle_sql() -> dict[str, str]:
               SELECT r.a, s.v FROM reach r JOIN sym s ON r.b = s.u
             )
             SELECT a AS node, LEAST(a, MIN(b)) AS comp FROM reach GROUP BY a
+        """,
+        "kg_incremental_merge": """
+            WITH existing AS (
+              SELECT c_custkey AS ext_id, c_name AS name,
+                     c_acctbal AS acctbal
+              FROM customer WHERE c_custkey % 4 <> 0
+            ),
+            winners AS (
+              SELECT ext_id, name, acctbal FROM (
+                SELECT o_custkey AS ext_id,
+                       'upd-' || CAST(o_orderkey AS VARCHAR) AS name,
+                       o_totalprice AS acctbal,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderkey DESC) AS rk
+                FROM orders) u
+              WHERE rk = 1
+            )
+            SELECT ext_id, name, acctbal FROM winners
+            UNION ALL
+            SELECT e.ext_id, e.name, e.acctbal FROM existing e
+            WHERE NOT EXISTS (
+              SELECT 1 FROM winners w WHERE w.ext_id = e.ext_id)
         """,
         "kg_alias_link": """
             WITH aliases AS (
