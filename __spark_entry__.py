@@ -646,6 +646,53 @@ def _q_events_windowed(spark, sf_dir):
     )
 
 
+def _q_mix_hash_sample(spark, sf_dir):
+    """Deterministic hash-Bernoulli sampling (operators/mixing.py
+    hash_sample): keep documents with md5(doc_id) below the 25%
+    threshold. A pure function of the row key — reruns/backfills draw
+    the identical sample, unlike rand()-based DataFrame.sample. The
+    oracle is the literal same predicate (lowercase-hex string compare
+    is engine-identical)."""
+    from redisgraph_bulk_loader_spark.operators.mixing import hash_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_sample(docs, "doc_id", 0.25).select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+def _q_mix_stratified_quota(spark, sf_dir):
+    """Per-source quota enforcement for a data-mixing recipe
+    (operators/mixing.py stratified_quota_sample): deterministically
+    keep the 15 smallest md5(source:doc_id) documents per source.
+    Spark runs the two-phase (salted) exact top-k; the oracle is the
+    single-window definition — their equality IS the exactness check
+    for the distributed decomposition."""
+    from redisgraph_bulk_loader_spark.operators.mixing import (
+        stratified_quota_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_quota_sample(docs, "source", "doc_id", 15).select(
+        "doc_id", "source"
+    )
+
+
+def _q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/mixing.py decontaminate):
+    documents with doc_id % 37 == 0 play the eval set; every remaining
+    corpus document is flagged iff it shares any alphanumeric word
+    5-gram with the eval set, with the distinct-hit-gram count. Only
+    (doc_id, md5(gram)) rides the shuffle; the benchmark gram set
+    broadcasts."""
+    from redisgraph_bulk_loader_spark.operators.mixing import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(corpus, bench, "doc_id", "text", n=5, mode="flag")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -682,6 +729,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_near_dup": _q_media_near_dup,
         "corpus_curation": _q_corpus_curation,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "mix_hash_sample": _q_mix_hash_sample,
+        "mix_stratified_quota": _q_mix_stratified_quota,
+        "decontaminate": _q_decontaminate,
     }
 
 
@@ -1469,5 +1519,68 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n,
                    ROUND(SUM(value), 2) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "mix_hash_sample": """
+            SELECT doc_id, lang, source, n_chars FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR))
+                  < '40000000000000000000000000000000'
+        """,
+        "mix_stratified_quota": """
+            SELECT doc_id, source FROM (
+              SELECT doc_id, source,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(source || ':'
+                                    || CAST(doc_id AS VARCHAR)),
+                                doc_id) AS rk
+              FROM documents)
+            WHERE rk <= 15
+        """,
+        "decontaminate": """
+            WITH corpus AS (
+              SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+            ),
+            bench AS (
+              SELECT text FROM documents WHERE doc_id % 37 = 0
+            ),
+            bt AS (
+              SELECT list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM bench
+            ),
+            bi AS (
+              SELECT t, unnest(generate_series(1, len(t) - 4)) AS i
+              FROM bt WHERE len(t) >= 5
+            ),
+            bng AS (
+              SELECT DISTINCT md5(array_to_string(t[i:i+4], ' ')) AS ng
+              FROM bi
+            ),
+            ct AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM corpus
+            ),
+            ci AS (
+              SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i
+              FROM ct WHERE len(t) >= 5
+            ),
+            cng AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(t[i:i+4], ' ')) AS ng
+              FROM ci
+            ),
+            hits AS (
+              SELECT doc_id, COUNT(*) AS n_hit_ngrams
+              FROM cng JOIN bng USING (ng) GROUP BY doc_id
+            )
+            SELECT c.doc_id,
+                   h.doc_id IS NOT NULL AS contaminated,
+                   CAST(COALESCE(h.n_hit_ngrams, 0) AS BIGINT)
+                     AS n_hit_ngrams
+            FROM corpus c LEFT JOIN hits h USING (doc_id)
         """,
     }

@@ -1,0 +1,179 @@
+"""Training-data mixing and benchmark decontamination.
+
+A pretraining pipeline does three sampling-shaped things the moment the
+corpus is curated: draw a deterministic fraction of a source
+(hash-Bernoulli — reruns and backfills must pick the SAME documents),
+enforce per-source quotas for the data-mixing recipe (top-k per
+stratum), and remove benchmark contamination (any document sharing a
+word n-gram with an eval set must not be trained on).
+
+Everything here is built from md5/row_number/equi-join primitives that
+exist identically in Spark and ANSI SQL, so each operator has an exact
+DuckDB oracle twin in __spark_entry__ (same discipline as
+functions/text.py).
+
+Shape at 100 TB:
+- hash_sample is a pure codegen filter on md5(id) — zero shuffle, rides
+  the parquet scan, and Catalyst pushes the surviving-column pruning
+  down even though md5 itself can't reach the scan.
+- stratified_quota_sample never funnels a stratum through one reducer:
+  phase 1 ranks within (stratum, salt) so each task sorts at most
+  |stratum|/n_salts rows, phase 2 ranks the <= quota * n_salts salted
+  winners per stratum — the standard two-phase exact top-k (same
+  pattern as operators/skew.two_phase_count).
+- decontaminate shuffles only (doc_id, 16-byte gram hash) pairs —
+  document text never leaves the scan stage. The benchmark side is an
+  eval set (small by construction) and broadcasts by default; a hot
+  boilerplate gram cannot go quadratic because the benchmark grams are
+  distinct, so each corpus gram row matches at most once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_threshold_hex(fraction: float) -> str:
+    """32-hex-char literal t such that P[md5(x) < t] == fraction under
+    the uniform-hash assumption. String comparison of lowercase hex is
+    identical in Spark and DuckDB, so the same literal twins exactly."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    return format(int(fraction * (16 ** 32)), "032x")
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    *,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic Bernoulli sample: keep rows where
+    md5(id || salt) < threshold(fraction).
+
+    Unlike DataFrame.sample this is a pure function of the row key —
+    rerunning the pipeline, resuming from checkpoint, or sampling the
+    same corpus on a different cluster layout selects the SAME rows,
+    which is what a reproducible training-data recipe needs. Distinct
+    ``salt`` values draw independent samples (e.g. train/holdout
+    splits from one corpus)."""
+    key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
+    return df.filter(F.md5(key) < F.lit(_hash_threshold_hex(fraction)))
+
+
+def stratified_quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    quota: int,
+    *,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Exactly ``quota`` rows per stratum (all rows when the stratum is
+    smaller), chosen deterministically as the quota smallest
+    md5(stratum:id) values — the per-source quota step of a data-mixing
+    recipe, reproducible across runs and cluster layouts.
+
+    Two-phase exact top-k: a naive row_number over
+    ``partitionBy(stratum)`` sends every row of a stratum to ONE
+    reducer — at web scale a 10^11-row stratum is a single-task sort.
+    Phase 1 ranks within (stratum, salt-of-id) so each task holds
+    ~1/n_salts of the stratum; only the <= quota * n_salts phase-1
+    winners per stratum reach the phase-2 window. Every global winner
+    is within the top-quota of its own salt bucket, so the composition
+    is exact, and the output is salt-count-invariant (n_salts tunes
+    parallelism, never results)."""
+    ord_key = F.md5(
+        F.concat(
+            F.col(strata_col).cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    salted = df.withColumn("_ord", ord_key).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    )
+    w1 = Window.partitionBy(strata_col, "_salt").orderBy("_ord", id_col)
+    w2 = Window.partitionBy(strata_col).orderBy("_ord", id_col)
+    return (
+        salted.withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= quota)
+        .withColumn("_rk", F.row_number().over(w2))
+        .filter(F.col("_rk") <= quota)
+        .drop("_ord", "_salt", "_rk")
+    )
+
+
+def _alnum_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams over alphanumeric tokens (lowercase, split
+    on runs of non-[a-z0-9], empties dropped) as array<string>. Shorter
+    documents yield an empty array — F.sequence(1, 0) would descend,
+    so the size guard is load-bearing."""
+    toks = F.filter(
+        F.split(F.lower(text), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    k = F.size(toks)
+    idx = F.sequence(F.lit(1), k - n + 1)
+    grams = F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(toks, i, n), " "))
+    )
+    return F.when(k >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    n: int = 5,
+    mode: str = "flag",
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: a corpus document is contaminated iff
+    it shares any word ``n``-gram with any benchmark document (the
+    standard eval-leakage rule — train/test overlap at the n-gram
+    level).
+
+    ``mode='flag'`` returns (id_col, contaminated:boolean,
+    n_hit_ngrams:bigint) for every corpus document — the auditable
+    form. ``mode='drop'`` returns the clean subset of ``corpus`` with
+    its original columns.
+
+    Only (doc_id, md5(gram)) pairs ride the shuffle; the benchmark gram
+    set is distinct and broadcast by default (eval sets are small). Set
+    ``broadcast_benchmark=False`` for a giant blocklist — the join
+    degrades to a shuffle equi-join on uniformly distributed hashes."""
+    if mode not in ("flag", "drop"):
+        raise ValueError(f"mode must be 'flag' or 'drop', got {mode!r}")
+    bench_ng = (
+        benchmark.select(
+            F.explode(_alnum_ngrams(F.col(text_col), n)).alias("_ng")
+        )
+        .select(F.md5("_ng").alias("_ng"))
+        .distinct()
+    )
+    if broadcast_benchmark:
+        bench_ng = F.broadcast(bench_ng)
+    corpus_ng = corpus.select(
+        F.col(id_col),
+        F.explode(_alnum_ngrams(F.col(text_col), n)).alias("_ng"),
+    ).select(id_col, F.md5("_ng").alias("_ng"))
+    hits = (
+        corpus_ng.join(bench_ng, "_ng")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit_ngrams"))
+    )
+    if mode == "drop":
+        return corpus.join(hits.select(id_col), id_col, "left_anti")
+    return corpus.select(id_col).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_hit_ngrams").isNotNull().alias("contaminated"),
+        F.coalesce(F.col("n_hit_ngrams"), F.lit(0).cast("long")).alias(
+            "n_hit_ngrams"
+        ),
+    )

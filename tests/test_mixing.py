@@ -1,0 +1,163 @@
+"""Training-data mixing and decontamination operators
+(operators/mixing.py): determinism, exactness of the two-phase top-k
+decomposition, and the n-gram contamination rule on planted inputs."""
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from redisgraph_bulk_loader_spark.operators.mixing import (
+    _alnum_ngrams,
+    _hash_threshold_hex,
+    decontaminate,
+    hash_sample,
+    stratified_quota_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (i, f"s{i % 3}", " ".join(f"w{(i * 7 + j) % 50}" for j in range(20)))
+        for i in range(300)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, source string, text string"
+    ).cache()
+
+
+class TestHashSample:
+    def test_threshold_literal(self):
+        assert _hash_threshold_hex(0.25) == "4" + "0" * 31
+        assert _hash_threshold_hex(0.0) == "0" * 32
+        with pytest.raises(ValueError):
+            _hash_threshold_hex(1.5)
+
+    def test_deterministic_and_layout_invariant(self, corpus):
+        a = hash_sample(corpus, "doc_id", 0.3)
+        b = hash_sample(corpus.repartition(13), "doc_id", 0.3)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        n = a.count()
+        assert 0 < n < 300  # nontrivial sample
+
+    def test_salt_draws_independent_samples(self, corpus):
+        a = {r.doc_id for r in hash_sample(corpus, "doc_id", 0.3).collect()}
+        b = {
+            r.doc_id
+            for r in hash_sample(corpus, "doc_id", 0.3, salt="v2").collect()
+        }
+        assert a != b
+
+    def test_monotone_in_fraction(self, corpus):
+        small = {
+            r.doc_id for r in hash_sample(corpus, "doc_id", 0.1).collect()
+        }
+        big = {
+            r.doc_id for r in hash_sample(corpus, "doc_id", 0.5).collect()
+        }
+        assert small <= big  # threshold grows, selected set only grows
+
+
+class TestStratifiedQuota:
+    def test_quota_counts(self, corpus):
+        out = stratified_quota_sample(corpus, "source", "doc_id", 10)
+        counts = dict(
+            (r.source, r.n)
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        )
+        assert counts == {"s0": 10, "s1": 10, "s2": 10}
+
+    def test_small_stratum_kept_whole(self, spark):
+        df = spark.createDataFrame(
+            [(1, "tiny"), (2, "tiny"), (3, "big"), (4, "big"), (5, "big")],
+            "doc_id long, source string",
+        )
+        out = stratified_quota_sample(df, "source", "doc_id", 3)
+        counts = dict(
+            (r.source, r.n)
+            for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()
+        )
+        assert counts == {"tiny": 2, "big": 3}
+
+    def test_two_phase_equals_single_window(self, corpus):
+        """The salted decomposition must reproduce the definitional
+        single-window top-k exactly, for any n_salts."""
+        ord_key = F.md5(
+            F.concat(
+                F.col("source"), F.lit(":"), F.col("doc_id").cast("string")
+            )
+        )
+        w = Window.partitionBy("source").orderBy("_o", "doc_id")
+        ref = (
+            corpus.withColumn("_o", ord_key)
+            .withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= 7)
+            .drop("_o", "_rk")
+        )
+        for n_salts in (1, 4, 64):
+            out = stratified_quota_sample(
+                corpus, "source", "doc_id", 7, n_salts=n_salts
+            )
+            assert out.exceptAll(ref).count() == 0
+            assert ref.exceptAll(out).count() == 0
+
+
+class TestDecontaminate:
+    @pytest.fixture(scope="class")
+    def planted(self, spark):
+        secret = "alpha bravo charlie delta echo"
+        bench = spark.createDataFrame(
+            [(100, f"prefix words {secret} suffix words")],
+            "doc_id long, text string",
+        )
+        corpus = spark.createDataFrame(
+            [
+                (1, f"leading junk {secret} trailing junk"),  # hit
+                (2, f"Alpha, bravo; CHARLIE delta echo!"),  # hit: tokenization
+                (3, "totally unrelated content here okay"),  # clean
+                (4, "alpha bravo charlie delta"),  # only 4 shared tokens
+                (5, "hi"),  # shorter than n
+            ],
+            "doc_id long, text string",
+        )
+        return corpus, bench
+
+    def test_flag_mode(self, planted):
+        corpus, bench = planted
+        out = {
+            r.doc_id: (r.contaminated, r.n_hit_ngrams)
+            for r in decontaminate(corpus, bench, n=5).collect()
+        }
+        assert out[1] == (True, 1)
+        assert out[2] == (True, 1)  # punctuation/case-insensitive tokens
+        assert out[3] == (False, 0)
+        assert out[4] == (False, 0)  # 4-token overlap is not a 5-gram
+        assert out[5] == (False, 0)
+
+    def test_drop_mode_complements_flag(self, planted):
+        corpus, bench = planted
+        clean = decontaminate(corpus, bench, n=5, mode="drop")
+        assert sorted(r.doc_id for r in clean.collect()) == [3, 4, 5]
+        assert clean.columns == corpus.columns  # original shape survives
+
+    def test_no_broadcast_path_same_result(self, planted):
+        corpus, bench = planted
+        a = decontaminate(corpus, bench, n=5)
+        b = decontaminate(corpus, bench, n=5, broadcast_benchmark=False)
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_bad_mode_rejected(self, planted):
+        corpus, bench = planted
+        with pytest.raises(ValueError):
+            decontaminate(corpus, bench, mode="nope")
+
+    def test_short_doc_ngrams_empty_not_descending(self, spark):
+        """F.sequence(1, k-n+1) descends when k < n — the guard must
+        yield an empty array, not phantom grams."""
+        df = spark.createDataFrame([("one two",)], "text string")
+        grams = df.select(
+            _alnum_ngrams(F.col("text"), 5).alias("g")
+        ).head().g
+        assert grams == []
