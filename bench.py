@@ -125,7 +125,8 @@ def main():
     OPERATORS = ["tpch_q1", "dedup_exact", "dedup_minhash_lsh",
                  "dedup_clusters", "ann_brute_force", "ann_lsh", "ann_ivf",
                  "ann_self_join", "emb_dedup_clusters", "events_sessionize",
-                 "media_near_dup", "corpus_curation"]
+                 "media_near_dup", "corpus_curation",
+                 "mix_stratified_quota", "decontaminate"]
 
     def op_thunk(name):
         return lambda: qs[name](spark, sf_dir).count()

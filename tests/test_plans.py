@@ -315,3 +315,53 @@ class TestCurationPlanShape:
                 raise AssertionError(f"text rides a shuffle: {line}")
         assert "SemiJoin" in p.replace("LeftSemi", "SemiJoin") or \
             "LeftSemi" in p
+
+
+class TestMixingPlanShape:
+    """Plan audits for the mixing family (operators/mixing.py)."""
+
+    def _docs(self, spark, n=60):
+        rows = [(i, f"s{i % 3}", f"alpha beta gamma delta {i % 7} zeta")
+                for i in range(n)]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        )
+
+    def test_hash_sample_zero_shuffle(self, spark):
+        """hash_sample is a pure scan filter — any Exchange in its plan
+        means the zero-shuffle contract broke."""
+        from redisgraph_bulk_loader_spark.operators.mixing import hash_sample
+
+        plan = plan_of(hash_sample(self._docs(spark), "doc_id", 0.3))
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan
+
+    def test_stratified_quota_two_windows_no_python(self, spark):
+        """The two-phase top-k must show both Window nodes (salted then
+        per-stratum) and stay fully JVM-side."""
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            stratified_quota_sample,
+        )
+
+        plan = plan_of(
+            stratified_quota_sample(self._docs(spark), "source", "doc_id", 5)
+        )
+        assert plan.count("Window") >= 2
+        assert "BatchEvalPython" not in plan
+        assert "CartesianProduct" not in plan
+
+    def test_decontaminate_broadcasts_and_text_stays_off_shuffles(self, spark):
+        """The benchmark gram set broadcasts; only (doc_id, md5 hash)
+        may ride an Exchange — a text column in any Exchange line means
+        document bytes entered the shuffle."""
+        from redisgraph_bulk_loader_spark.operators.mixing import decontaminate
+
+        docs = self._docs(spark)
+        bench = docs.filter("doc_id % 10 = 0").select("doc_id", "text")
+        plan = plan_of(decontaminate(docs, bench, "doc_id", "text", n=3))
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan
+        for line in plan.splitlines():
+            if "Exchange" in line and "text" in line:
+                raise AssertionError(f"text rides a shuffle: {line}")

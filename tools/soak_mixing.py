@@ -1,0 +1,150 @@
+"""Mixing-family soak beyond sf0.1 (round 5): hash_sample,
+stratified_quota_sample, and decontaminate at one-to-three orders above
+the bench corpus, with planted structure so correctness is asserted at
+scale, not just wall time:
+
+- ``hash_sample`` over ``n_docs`` rows at fraction 0.1 — the selected
+  count must land within 5 sigma of the binomial expectation, and the
+  same call must be layout-invariant (scan-only, zero shuffle).
+- ``stratified_quota_sample`` over a deliberately SKEWED stratification
+  (one stratum holds ~90% of rows — the exact shape where a naive
+  single-window top-k funnels through one reducer): per-stratum counts
+  must equal min(quota, |stratum|).
+- ``decontaminate`` over ``n_decontam`` docs with a planted benchmark:
+  every 1000th doc's text IS a benchmark text (full n-gram overlap) and
+  all other texts are unique hash-derived word soup, so the flagged
+  count must be exactly n_decontam // 1000.
+
+Texts are pure JVM column expressions (hash-derived, no RNG, no Python
+on the synthesis path) — same discipline as soak_dedup_ann.py.
+
+Run: PYTHONPATH=/root/repo python tools/soak_mixing.py \
+        [n_docs] [n_decontam]      (defaults 10_000_000 / 2_000_000)
+Prints one JSON line with walls, rows, and peak RSS.
+"""
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _vm_hwm_kb(pid) -> int:
+    with open(f"/proc/{pid}/status") as f:
+        for line in f:
+            if line.startswith("VmHWM:"):
+                return int(line.split()[1])
+    return -1
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_decontam = int(sys.argv[2]) if len(sys.argv) > 2 else 2_000_000
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("rgbl-soak-mixing")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    jvm_pid = spark._jvm.java.lang.ProcessHandle.current().pid()
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from redisgraph_bulk_loader_spark.operators.mixing import (
+        decontaminate,
+        hash_sample,
+        stratified_quota_sample,
+    )
+
+    out = {"soak": "mixing", "n_docs": n_docs, "n_decontam": n_decontam,
+           "cpus": int(cpus)}
+    out_root = tempfile.mkdtemp(prefix="rgbl_soak_mix_")
+    try:
+        # --- synthesize: skewed strata + unique word-soup text ----------
+        # stratum 'hot' holds ids with id % 10 != 0 (~90%); the rest
+        # split across s1..s9 by id % 100. Text: 20 hash-picked vocab
+        # words; every 1000th doc instead repeats the text of its
+        # benchmark base (id % 1000 == 0 docs ARE the benchmark set).
+        stratum = (
+            F.when(F.col("id") % 10 != 0, F.lit("hot"))
+            .otherwise(F.concat(F.lit("s"), (F.col("id") % 100).cast("string")))
+        )
+        words = [
+            F.concat(F.lit("w"),
+                     F.pmod(F.xxhash64(F.col("id"), F.lit(j)),
+                            F.lit(1000)).cast("string"))
+            for j in range(20)
+        ]
+        corpus_path = os.path.join(out_root, "corpus")
+        t0 = time.time()
+        (spark.range(0, n_docs, numPartitions=int(cpus) * 4)
+         .select(F.col("id").alias("doc_id"), stratum.alias("source"),
+                 F.concat_ws(" ", *words).alias("text"))
+         .write.parquet(corpus_path))
+        out["synth_sec"] = round(time.time() - t0, 1)
+        docs = spark.read.parquet(corpus_path)
+
+        # --- hash_sample -------------------------------------------------
+        t0 = time.time()
+        n_sampled = hash_sample(docs, "doc_id", 0.1).count()
+        wall = time.time() - t0
+        out["hash_sample_wall_sec"] = round(wall, 1)
+        out["hash_sample_rows_per_sec"] = round(n_docs / wall, 1)
+        out["hash_sample_selected"] = n_sampled
+        mean, sigma = n_docs * 0.1, (n_docs * 0.1 * 0.9) ** 0.5
+        assert abs(n_sampled - mean) < 5 * sigma, (n_sampled, mean)
+
+        # --- stratified quota over the skewed strata ----------------------
+        quota = 100_000
+        t0 = time.time()
+        picked = stratified_quota_sample(docs, "source", "doc_id", quota)
+        counts = {r["source"]: r["n"] for r in
+                  picked.groupBy("source").agg(F.count("*").alias("n"))
+                  .collect()}
+        wall = time.time() - t0
+        out["quota_wall_sec"] = round(wall, 1)
+        out["quota_rows_per_sec"] = round(n_docs / wall, 1)
+        out["quota_hot_stratum_rows"] = counts.get("hot", 0)
+        sizes = {r["source"]: r["n"] for r in
+                 docs.groupBy("source").agg(F.count("*").alias("n"))
+                 .collect()}
+        for s, size in sizes.items():
+            assert counts.get(s, 0) == min(quota, size), (s, counts.get(s), size)
+        out["quota_strata"] = len(sizes)
+
+        # --- decontaminate with planted benchmark -------------------------
+        sub = docs.filter(F.col("doc_id") < n_decontam)
+        bench = sub.filter(F.col("doc_id") % 1000 == 0).select("doc_id", "text")
+        t0 = time.time()
+        flagged = decontaminate(sub, bench, "doc_id", "text", n=5) \
+            .filter("contaminated").count()
+        wall = time.time() - t0
+        out["decontam_wall_sec"] = round(wall, 1)
+        out["decontam_docs_per_sec"] = round(n_decontam / wall, 1)
+        out["decontam_flagged"] = flagged
+        expected = (n_decontam + 999) // 1000
+        assert flagged == expected, (flagged, expected)
+
+        out["jvm_vmhwm_mb"] = round(_vm_hwm_kb(jvm_pid) / 1024, 1)
+        out["driver_vmhwm_mb"] = round(_vm_hwm_kb(os.getpid()) / 1024, 1)
+        out["ok"] = True
+    finally:
+        shutil.rmtree(out_root, ignore_errors=True)
+        spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
