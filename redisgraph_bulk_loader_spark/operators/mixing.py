@@ -84,7 +84,13 @@ def stratified_quota_sample(
     winners per stratum reach the phase-2 window. Every global winner
     is within the top-quota of its own salt bucket, so the composition
     is exact, and the output is salt-count-invariant (n_salts tunes
-    parallelism, never results)."""
+    parallelism, never results).
+
+    Only (stratum, id, ordering-hash) rides the window shuffles —
+    document text/payload columns stay in the scan and rejoin via an
+    id semi-join at the end (winner sets are quota-bounded, so AQE
+    broadcasts them). ``id_col`` must be unique per row (it already
+    has to be for the deterministic ordering to mean anything)."""
     ord_key = F.md5(
         F.concat(
             F.col(strata_col).cast("string"),
@@ -92,18 +98,21 @@ def stratified_quota_sample(
             F.col(id_col).cast("string"),
         )
     )
-    salted = df.withColumn("_ord", ord_key).withColumn(
+    keys = df.select(strata_col, id_col).withColumn(
+        "_ord", ord_key
+    ).withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
     )
     w1 = Window.partitionBy(strata_col, "_salt").orderBy("_ord", id_col)
     w2 = Window.partitionBy(strata_col).orderBy("_ord", id_col)
-    return (
-        salted.withColumn("_rk", F.row_number().over(w1))
+    winners = (
+        keys.withColumn("_rk", F.row_number().over(w1))
         .filter(F.col("_rk") <= quota)
         .withColumn("_rk", F.row_number().over(w2))
         .filter(F.col("_rk") <= quota)
-        .drop("_ord", "_salt", "_rk")
+        .select(id_col)
     )
+    return df.join(winners, id_col, "semi")
 
 
 def _alnum_ngrams(text: Column, n: int) -> Column:

@@ -338,17 +338,21 @@ class TestMixingPlanShape:
 
     def test_stratified_quota_two_windows_no_python(self, spark):
         """The two-phase top-k must show both Window nodes (salted then
-        per-stratum) and stay fully JVM-side."""
+        per-stratum), stay fully JVM-side, and keep the text column off
+        every window Exchange — winners rejoin by id."""
         from redisgraph_bulk_loader_spark.operators.mixing import (
             stratified_quota_sample,
         )
 
-        plan = plan_of(
-            stratified_quota_sample(self._docs(spark), "source", "doc_id", 5)
-        )
+        out = stratified_quota_sample(self._docs(spark), "source", "doc_id", 5)
+        out.collect()
+        plan = plan_of(out)
         assert plan.count("Window") >= 2
         assert "BatchEvalPython" not in plan
         assert "CartesianProduct" not in plan
+        for line in plan.splitlines():
+            if "Exchange" in line and "text" in line:
+                raise AssertionError(f"text rides a shuffle: {line}")
 
     def test_decontaminate_broadcasts_and_text_stays_off_shuffles(self, spark):
         """The benchmark gram set broadcasts; only (doc_id, md5 hash)
