@@ -154,10 +154,63 @@ class TestDecontaminate:
             decontaminate(corpus, bench, mode="nope")
 
     def test_short_doc_ngrams_empty_not_descending(self, spark):
-        """F.sequence(1, k-n+1) descends when k < n — the guard must
-        yield an empty array, not phantom grams."""
+        """Documents shorter than n tokens must yield an empty array —
+        the regex form gets this for free (no n-token window matches),
+        where the HOF form needed a descending-F.sequence guard."""
         df = spark.createDataFrame([("one two",)], "text string")
         grams = df.select(
             _alnum_ngrams(F.col("text"), 5).alias("g")
         ).head().g
         assert grams == []
+
+
+class TestNgramRegexProperty:
+    """The lookahead-regex n-gram extractor must equal the definitional
+    tokenize-then-slide form on arbitrary ASCII text (the regex trick —
+    zero-width token-boundary lookahead — is subtle enough to deserve a
+    property test; the DuckDB oracle checks it again cross-engine)."""
+
+    @staticmethod
+    def _py_ngrams(text: str, n: int) -> list:
+        import re
+
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        seen, out = set(), []
+        for i in range(len(toks) - n + 1):
+            g = " ".join(toks[i:i + n])
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    def test_matches_python_reference(self, spark):
+        import string
+
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        alphabet = string.ascii_letters + string.digits + " .,;:!?-_\n\t'\""
+        cases = []
+
+        @settings(max_examples=200, deadline=None)
+        @given(st.text(alphabet=alphabet, max_size=120),
+               st.integers(min_value=1, max_value=6))
+        def collect(text, n):
+            cases.append((text, n))
+
+        collect()
+        # one Spark job for all examples (per-example jobs would be
+        # 200 round-trips); order column keeps rows addressable
+        df = spark.createDataFrame(
+            [(i, t, n) for i, (t, n) in enumerate(cases)],
+            "i long, text string, n int",
+        )
+        got = {}
+        for n in sorted({n for _, n in cases}):
+            part = df.filter(F.col("n") == n).select(
+                "i", _alnum_ngrams(F.col("text"), n).alias("g")
+            )
+            for r in part.collect():
+                got[r.i] = list(r.g)
+        for i, (text, n) in enumerate(cases):
+            assert got[i] == self._py_ngrams(text, n), (text, n)
