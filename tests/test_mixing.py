@@ -153,6 +153,20 @@ class TestDecontaminate:
         with pytest.raises(ValueError):
             decontaminate(corpus, bench, mode="nope")
 
+    def test_empty_benchmark_all_clean(self, planted):
+        corpus, bench = planted
+        out = decontaminate(corpus, bench.filter("doc_id < 0"), n=5)
+        assert out.filter("contaminated").count() == 0
+        assert out.count() == corpus.count()
+
+    def test_unigram_mode(self, planted):
+        """n=1 degenerates to token-set overlap — doc 3 shares zero
+        tokens with the benchmark, doc 4 shares four."""
+        corpus, bench = planted
+        out = {r.doc_id: r.n_hit_ngrams
+               for r in decontaminate(corpus, bench, n=1).collect()}
+        assert out[3] == 0 and out[4] == 4
+
     def test_short_doc_ngrams_empty_not_descending(self, spark):
         """Documents shorter than n tokens must yield an empty array —
         the regex form gets this for free (no n-token window matches),
