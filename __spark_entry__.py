@@ -693,6 +693,24 @@ def _q_decontaminate(spark, sf_dir):
     return decontaminate(corpus, bench, "doc_id", "text", n=5, mode="flag")
 
 
+def _q_mix_token_budget(spark, sf_dir):
+    """Per-source token-budget fill (operators/mixing.py
+    token_budget_sample): walk each source in md5(source:doc_id) order
+    and keep documents while the running n_chars sum stays <= 2000 —
+    the "N tokens per source" step of a mixing recipe. Spark runs the
+    two-phase salted decomposition; the oracle is the definitional
+    single-window running-sum cut, so their hash equality proves the
+    decomposition exact on real data."""
+    from redisgraph_bulk_loader_spark.operators.mixing import (
+        token_budget_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_sample(
+        docs, "source", "doc_id", "n_chars", 2000
+    ).select("doc_id", "source", "n_chars")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -731,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "mix_hash_sample": _q_mix_hash_sample,
         "mix_stratified_quota": _q_mix_stratified_quota,
+        "mix_token_budget": _q_mix_token_budget,
         "decontaminate": _q_decontaminate,
     }
 
@@ -1535,6 +1554,18 @@ def oracle_sql() -> dict[str, str]:
                                 doc_id) AS rk
               FROM documents)
             WHERE rk <= 15
+        """,
+        "mix_token_budget": """
+            SELECT doc_id, source, n_chars FROM (
+              SELECT doc_id, source, n_chars,
+                     SUM(n_chars) OVER (
+                       PARTITION BY source
+                       ORDER BY md5(source || ':'
+                                    || CAST(doc_id AS VARCHAR)),
+                                doc_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+              FROM documents)
+            WHERE cum <= 2000
         """,
         "decontaminate": """
             WITH corpus AS (

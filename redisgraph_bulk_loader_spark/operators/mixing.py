@@ -115,6 +115,65 @@ def stratified_quota_sample(
     return df.join(winners, id_col, "semi")
 
 
+def token_budget_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    weight_col: str,
+    budget: int,
+    *,
+    n_salts: int = 32,
+) -> DataFrame:
+    """Deterministic per-stratum BUDGET fill: walk each stratum in
+    md5(stratum:id) order and keep rows while the running sum of
+    ``weight_col`` stays <= ``budget`` (the first row that would
+    overshoot is dropped, as is everything after it). This is the
+    "sample 1B tokens per source" step of a training-data recipe —
+    quota counts rows, budget counts tokens/bytes.
+
+    Exact two-phase decomposition (same narrow-projection discipline as
+    stratified_quota_sample): the global budget prefix intersected with
+    any salt bucket is a prefix of that bucket's own hash order whose
+    weight sum is <= budget — so phase 1 keeps each (stratum, salt)
+    bucket's local running sum <= budget (bounding phase-2 input to
+    ~n_salts * budget weight per stratum), and phase 2 re-ranks the
+    survivors per stratum and applies the exact global cumulative cut.
+    Only (stratum, id, ord, weight) rides the shuffles; full rows
+    rejoin via the winner id semi-join. Rows with weight > budget can
+    never be kept; negative weights are rejected by definition (a
+    running-sum prefix is only monotone for non-negative weights)."""
+    ord_key = F.md5(
+        F.concat(
+            F.col(strata_col).cast("string"),
+            F.lit(":"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    keys = df.select(
+        strata_col, id_col, F.col(weight_col).alias("_w")
+    ).withColumn("_ord", ord_key).withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(n_salts))
+    )
+    w1 = (
+        Window.partitionBy(strata_col, "_salt")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w2 = (
+        Window.partitionBy(strata_col)
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    winners = (
+        keys.withColumn("_cum", F.sum("_w").over(w1))
+        .filter(F.col("_cum") <= budget)
+        .withColumn("_cum", F.sum("_w").over(w2))
+        .filter(F.col("_cum") <= budget)
+        .select(id_col)
+    )
+    return df.join(winners, id_col, "semi")
+
+
 def _alnum_ngrams(text: Column, n: int) -> Column:
     """Distinct word n-grams over alphanumeric tokens (lowercase, split
     on runs of non-[a-z0-9], empties dropped) as array<string>.

@@ -12,6 +12,7 @@ from redisgraph_bulk_loader_spark.operators.mixing import (
     decontaminate,
     hash_sample,
     stratified_quota_sample,
+    token_budget_sample,
 )
 
 
@@ -228,3 +229,46 @@ class TestNgramRegexProperty:
                 got[r.i] = list(r.g)
         for i, (text, n) in enumerate(cases):
             assert got[i] == self._py_ngrams(text, n), (text, n)
+
+
+class TestTokenBudget:
+    def test_budget_respected_and_deterministic(self, corpus):
+        docs = corpus.withColumn("w", F.length("text"))
+        out = token_budget_sample(docs, "source", "doc_id", "w", 300)
+        sums = {r.source: r.s for r in
+                out.groupBy("source").agg(F.sum("w").alias("s")).collect()}
+        assert sums and all(s <= 300 for s in sums.values())
+        again = token_budget_sample(
+            docs.repartition(17), "source", "doc_id", "w", 300)
+        assert out.exceptAll(again).count() == 0
+        assert again.exceptAll(out).count() == 0
+
+    def test_two_phase_equals_single_window(self, corpus):
+        """The salted budget decomposition must equal the definitional
+        single-window running-sum cut, for any n_salts."""
+        docs = corpus.withColumn("w", F.length("text"))
+        ord_key = F.md5(F.concat(
+            F.col("source"), F.lit(":"), F.col("doc_id").cast("string")))
+        w = (Window.partitionBy("source").orderBy("_o", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        ref = (docs.withColumn("_o", ord_key)
+               .withColumn("_cum", F.sum("w").over(w))
+               .filter(F.col("_cum") <= 300).drop("_o", "_cum"))
+        for n_salts in (1, 4, 64):
+            out = token_budget_sample(docs, "source", "doc_id", "w", 300,
+                                      n_salts=n_salts)
+            assert out.exceptAll(ref).count() == 0
+            assert ref.exceptAll(out).count() == 0
+
+    def test_budget_larger_than_stratum_keeps_all(self, corpus):
+        docs = corpus.withColumn("w", F.length("text"))
+        out = token_budget_sample(docs, "source", "doc_id", "w", 10**9)
+        assert out.count() == docs.count()
+
+    def test_first_overshooting_row_dropped(self, spark):
+        """One stratum, every row weight 10, budget 25: exactly the 2
+        first-by-hash rows survive (the third would overshoot)."""
+        df = spark.createDataFrame(
+            [(i, "s", 10) for i in range(6)], "doc_id long, source string, w int")
+        out = token_budget_sample(df, "source", "doc_id", "w", 25)
+        assert out.count() == 2
