@@ -140,8 +140,10 @@ def token_budget_sample(
     survivors per stratum and applies the exact global cumulative cut.
     Only (stratum, id, ord, weight) rides the shuffles; full rows
     rejoin via the winner id semi-join. Rows with weight > budget can
-    never be kept; negative weights are rejected by definition (a
-    running-sum prefix is only monotone for non-negative weights)."""
+    never be kept. Weights must be non-negative — the decomposition's
+    exactness proof relies on the running sum being monotone, so
+    negative weights give undefined results (as they would make "fill
+    a budget" meaningless anyway)."""
     ord_key = F.md5(
         F.concat(
             F.col(strata_col).cast("string"),

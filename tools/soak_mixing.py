@@ -10,6 +10,10 @@ scale, not just wall time:
   (one stratum holds ~90% of rows — the exact shape where a naive
   single-window top-k funnels through one reducer): per-stratum counts
   must equal min(quota, |stratum|).
+- ``token_budget_sample`` (budget 5M chars per stratum, well under
+  the hot stratum's total — the regime the two-phase decomposition is
+  for): per-stratum kept-weight must be within one document of the
+  budget from below, never above.
 - ``decontaminate`` over ``n_decontam`` docs with a planted benchmark:
   every 1000th doc's text IS a benchmark text (full n-gram overlap) and
   all other texts are unique hash-derived word soup, so the flagged
@@ -66,6 +70,7 @@ def main():
         decontaminate,
         hash_sample,
         stratified_quota_sample,
+        token_budget_sample,
     )
 
     out = {"soak": "mixing", "n_docs": n_docs, "n_decontam": n_decontam,
@@ -123,6 +128,22 @@ def main():
         for s, size in sizes.items():
             assert counts.get(s, 0) == min(quota, size), (s, counts.get(s), size)
         out["quota_strata"] = len(sizes)
+
+        # --- token budget over the skewed strata ---------------------------
+        budget = 5_000_000
+        t0 = time.time()
+        kept = token_budget_sample(docs.withColumn(
+            "w", F.length("text")), "source", "doc_id", "w", budget)
+        wsum = {r["source"]: r["s"] for r in
+                kept.groupBy("source").agg(F.sum("w").alias("s")).collect()}
+        wall = time.time() - t0
+        out["budget_wall_sec"] = round(wall, 1)
+        out["budget_rows_per_sec"] = round(n_docs / wall, 1)
+        out["budget_hot_weight"] = wsum.get("hot", 0)
+        assert all(s <= budget for s in wsum.values()), wsum
+        # the hot stratum has far more weight than budget, so the fill
+        # must come within one max-doc-length of the budget
+        assert wsum["hot"] > budget - 400, wsum["hot"]
 
         # --- decontaminate with planted benchmark -------------------------
         sub = docs.filter(F.col("doc_id") < n_decontam)
