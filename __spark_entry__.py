@@ -711,6 +711,21 @@ def _q_mix_token_budget(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def _q_mix_pack_sequences(spark, sf_dir):
+    """Concat-and-chunk sequence packing (operators/mixing.py
+    pack_sequences): lay every document end to end in md5(doc_id)
+    order and cut 2048-char training windows; emit each document's
+    placement (offset, first/last window, boundary-straddle flag).
+    Spark runs the hash-prefix bucket decomposition of the global
+    running sum (no single-reducer sort); the oracle is the
+    definitional one-window layout — hash equality proves the
+    distributed prefix sum exact."""
+    from redisgraph_bulk_loader_spark.operators.mixing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, "doc_id", "n_chars", 2048)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_triples": _q_kg_triples,
@@ -750,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_hash_sample": _q_mix_hash_sample,
         "mix_stratified_quota": _q_mix_stratified_quota,
         "mix_token_budget": _q_mix_token_budget,
+        "mix_pack_sequences": _q_mix_pack_sequences,
         "decontaminate": _q_decontaminate,
     }
 
@@ -1566,6 +1582,22 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS cum
               FROM documents)
             WHERE cum <= 2000
+        """,
+        "mix_pack_sequences": """
+            SELECT doc_id, weight, start_offset, start_bin, end_bin,
+                   end_bin - start_bin + 1 AS n_bins,
+                   end_bin > start_bin AS spans_boundary
+            FROM (
+              SELECT doc_id, weight, start_offset,
+                     start_offset // 2048 AS start_bin,
+                     (start_offset + weight - 1) // 2048 AS end_bin
+              FROM (
+                SELECT doc_id, n_chars AS weight,
+                       CAST(SUM(n_chars) OVER (
+                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                         ROWS UNBOUNDED PRECEDING) - n_chars
+                         AS BIGINT) AS start_offset
+                FROM documents))
         """,
         "decontaminate": """
             WITH corpus AS (

@@ -126,7 +126,8 @@ def main():
                  "dedup_clusters", "ann_brute_force", "ann_lsh", "ann_ivf",
                  "ann_self_join", "emb_dedup_clusters", "events_sessionize",
                  "media_near_dup", "corpus_curation",
-                 "mix_stratified_quota", "mix_token_budget", "decontaminate"]
+                 "mix_stratified_quota", "mix_token_budget",
+                 "mix_pack_sequences", "decontaminate"]
 
     def op_thunk(name):
         return lambda: qs[name](spark, sf_dir).count()

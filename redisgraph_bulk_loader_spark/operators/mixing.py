@@ -176,9 +176,10 @@ def token_budget_sample(
     return df.join(winners, id_col, "semi")
 
 
-def _alnum_ngrams(text: Column, n: int) -> Column:
-    """Distinct word n-grams over alphanumeric tokens (lowercase, split
-    on runs of non-[a-z0-9], empties dropped) as array<string>.
+def _alnum_ngram_occurrences(text: Column, n: int) -> Column:
+    """EVERY overlapping word n-gram over alphanumeric tokens
+    (lowercase, split on runs of non-[a-z0-9], empties dropped) as
+    array<string> — one entry per occurrence, duplicates preserved.
 
     Implemented as ONE codegen'd regex pass: normalize to
     space-separated tokens, then a zero-width token-boundary lookahead
@@ -187,12 +188,22 @@ def _alnum_ngrams(text: Column, n: int) -> Column:
     INTERPRETED (HOFs sit outside whole-stage codegen) and measured
     2.6x slower at 200k docs; documents shorter than n tokens simply
     have no match (empty array), so no descending-sequence guard is
-    needed. The DuckDB oracle twin keeps the list-slicing form — their
+    needed. The DuckDB oracle twins keep the list-slicing form — their
     hash equality is the cross-check that the regex really enumerates
-    the sliding windows."""
+    the sliding windows. n == 1 degenerates to plain tokenization
+    (the lookahead pattern handles it, but split() is cheaper)."""
     norm = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
+    if n == 1:
+        return F.when(norm == "", F.array().cast("array<string>")).otherwise(
+            F.split(norm, " ")
+        )
     pat = r"(?<![a-z0-9])(?=((?:[a-z0-9]+ ){%d}[a-z0-9]+))" % (n - 1)
-    return F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
+
+
+def _alnum_ngrams(text: Column, n: int) -> Column:
+    """Distinct word n-grams (see _alnum_ngram_occurrences)."""
+    return F.array_distinct(_alnum_ngram_occurrences(text, n))
 
 
 def decontaminate(
@@ -247,4 +258,87 @@ def decontaminate(
         F.coalesce(F.col("n_hit_ngrams"), F.lit(0).cast("long")).alias(
             "n_hit_ngrams"
         ),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    window: int,
+    *,
+    salt: str = "",
+    bucket_hex: int = 2,
+) -> DataFrame:
+    """Concat-and-chunk sequence packing: lay all documents end to end
+    in deterministic md5(id || salt) order and cut the stream into
+    fixed ``window``-sized training sequences. Returns one row per
+    input row with its placement in the packed stream:
+
+      id_col, weight, start_offset (0-based char/token offset of the
+      document's first unit), start_bin / end_bin (the window indices
+      of its first and last unit), n_bins, spans_boundary (true iff
+      the document straddles a window cut — the rows an attention-mask
+      builder needs to know about).
+
+    This is the GPT-style packing strategy (tokenize, concatenate,
+    split every ``window`` tokens): zero padding waste by construction,
+    documents may straddle boundaries. Determinism comes from the hash
+    order — re-running the recipe, resuming, or packing on a different
+    cluster layout places every document at the same offset.
+
+    Exactness at scale: the definitional form is ONE global running
+    sum — a single-reducer sort at 100 TB. Instead the hash order is
+    decomposed by its own prefix: bucket = first ``bucket_hex`` hex
+    chars of the order key (lexicographic bucket order == global order,
+    because the bucket IS a prefix of the sort key). Each bucket
+    computes its local running sum in parallel (~N/16^bucket_hex rows
+    per task under md5 uniformity — raise ``bucket_hex`` to 3-4 at
+    production scale), bucket totals aggregate to a 16^bucket_hex-row
+    dim whose global prefix offsets are a one-task window over dim-
+    scale data, and a broadcast join adds the offsets back. The DuckDB
+    oracle twin in __spark_entry__ is the naive global window — hash
+    equality proves the decomposition exact. Weights must be >= 1 (a
+    zero-length document occupies no units and has no well-defined
+    bin span)."""
+    if window <= 0:
+        raise ValueError(f"window must be positive, got {window}")
+    if not 1 <= bucket_hex <= 8:
+        raise ValueError(f"bucket_hex must be in [1,8], got {bucket_hex}")
+    ord_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    keys = (
+        df.select(F.col(id_col), F.col(weight_col).cast("long").alias("_w"))
+        .withColumn("_ord", ord_key)
+        .withColumn("_b", F.substring("_ord", 1, bucket_hex))
+    )
+    w_local = (
+        Window.partitionBy("_b")
+        .orderBy("_ord", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # 16^bucket_hex rows — dim-scale by construction, so the
+    # unpartitioned prefix window below is a deliberate one-task step
+    # over a dim, not a data-scale funnel.
+    totals = keys.groupBy("_b").agg(F.sum("_w").alias("_bt"))
+    w_prefix = Window.orderBy("_b").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prefix = totals.withColumn(
+        "_bp", F.sum("_bt").over(w_prefix) - F.col("_bt")
+    ).select("_b", "_bp")
+    start = F.col("_bp") + F.col("_cum") - F.col("_w")
+    return (
+        keys.withColumn("_cum", F.sum("_w").over(w_local))
+        .join(F.broadcast(prefix), "_b")
+        .select(
+            F.col(id_col),
+            F.col("_w").alias("weight"),
+            start.alias("start_offset"),
+            F.floor(start / window).alias("start_bin"),
+            F.floor((start + F.col("_w") - 1) / window).alias("end_bin"),
+        )
+        .withColumn(
+            "n_bins", F.col("end_bin") - F.col("start_bin") + F.lit(1)
+        )
+        .withColumn("spans_boundary", F.col("n_bins") > 1)
     )

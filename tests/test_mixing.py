@@ -272,3 +272,108 @@ class TestTokenBudget:
             [(i, "s", 10) for i in range(6)], "doc_id long, source string, w int")
         out = token_budget_sample(df, "source", "doc_id", "w", 25)
         assert out.count() == 2
+
+
+class TestPackSequences:
+    def test_matches_python_reference(self, corpus):
+        """Placement of every document must equal the brute-force
+        single-stream layout computed driver-side with hashlib."""
+        import hashlib
+
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            pack_sequences,
+        )
+
+        docs = corpus.withColumn("w", F.length("text"))
+        rows = {r["doc_id"]: r["w"] for r in docs.select("doc_id", "w").collect()}
+        order = sorted(
+            rows, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i)
+        )
+        window = 128
+        expected, off = {}, 0
+        for i in order:
+            w = rows[i]
+            sb, eb = off // window, (off + w - 1) // window
+            expected[i] = (off, sb, eb, eb - sb + 1, eb > sb)
+            off += w
+        out = pack_sequences(docs, "doc_id", "w", window)
+        got = {
+            r["doc_id"]: (
+                r["start_offset"], r["start_bin"], r["end_bin"],
+                r["n_bins"], r["spans_boundary"],
+            )
+            for r in out.collect()
+        }
+        assert got == expected
+
+    def test_layout_invariant_and_bucket_hex(self, corpus):
+        """Same placements regardless of input partitioning and of the
+        bucket fan-out (the decomposition is exact for any prefix
+        width)."""
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            pack_sequences,
+        )
+
+        docs = corpus.withColumn("w", F.length("text"))
+        base = pack_sequences(docs, "doc_id", "w", 100)
+        for variant in (
+            pack_sequences(docs.repartition(17), "doc_id", "w", 100),
+            pack_sequences(docs, "doc_id", "w", 100, bucket_hex=1),
+            pack_sequences(docs, "doc_id", "w", 100, bucket_hex=4),
+        ):
+            assert base.exceptAll(variant).count() == 0
+            assert variant.exceptAll(base).count() == 0
+
+    def test_stream_has_no_gaps_or_overlaps(self, corpus):
+        """The packed stream must be a perfect concatenation: offsets
+        start at 0, every next start is the previous end, total length
+        is the weight sum."""
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            pack_sequences,
+        )
+
+        docs = corpus.withColumn("w", F.length("text"))
+        out = pack_sequences(docs, "doc_id", "w", 512).collect()
+        spans = sorted((r["start_offset"], r["weight"]) for r in out)
+        assert spans[0][0] == 0
+        for (s0, w0), (s1, _) in zip(spans, spans[1:]):
+            assert s1 == s0 + w0
+        total = sum(w for _, w in spans)
+        assert spans[-1][0] + spans[-1][1] == total
+
+    def test_giant_doc_spans_many_windows(self, spark):
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            pack_sequences,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 10), (2, 55), (3, 10)], "doc_id long, w int"
+        )
+        out = {r["doc_id"]: r for r in
+               pack_sequences(df, "doc_id", "w", 10).collect()}
+        giant = out[2]
+        assert giant["n_bins"] >= 6 and giant["spans_boundary"]
+        # every window index between first and last doc is occupied
+        assert giant["end_bin"] - giant["start_bin"] + 1 == giant["n_bins"]
+
+    def test_salt_changes_layout_deterministically(self, corpus):
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            pack_sequences,
+        )
+
+        docs = corpus.withColumn("w", F.length("text"))
+        a = pack_sequences(docs, "doc_id", "w", 100, salt="a")
+        a2 = pack_sequences(docs, "doc_id", "w", 100, salt="a")
+        b = pack_sequences(docs, "doc_id", "w", 100, salt="b")
+        assert a.exceptAll(a2).count() == 0
+        assert a.exceptAll(b).count() > 0
+
+    def test_rejects_bad_params(self, corpus):
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            pack_sequences,
+        )
+
+        with pytest.raises(ValueError):
+            pack_sequences(corpus, "doc_id", "doc_id", 0)
+        with pytest.raises(ValueError):
+            pack_sequences(corpus, "doc_id", "doc_id", 10, bucket_hex=0)

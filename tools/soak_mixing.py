@@ -14,6 +14,10 @@ scale, not just wall time:
   the hot stratum's total — the regime the two-phase decomposition is
   for): per-stratum kept-weight must be within one document of the
   budget from below, never above.
+- ``pack_sequences`` (window 2048) over all ``n_docs`` rows: the
+  packed stream must be a perfect concatenation — min offset 0, max
+  offset+weight == total weight, and every start offset distinct
+  (weights >= 1 make gap-free equivalent to these three aggregates).
 - ``decontaminate`` over ``n_decontam`` docs with a planted benchmark:
   every 1000th doc's text IS a benchmark text (full n-gram overlap) and
   all other texts are unique hash-derived word soup, so the flagged
@@ -69,6 +73,7 @@ def main():
     from redisgraph_bulk_loader_spark.operators.mixing import (
         decontaminate,
         hash_sample,
+        pack_sequences,
         stratified_quota_sample,
         token_budget_sample,
     )
@@ -144,6 +149,28 @@ def main():
         # the hot stratum has far more weight than budget, so the fill
         # must come within one max-doc-length of the budget
         assert wsum["hot"] > budget - 400, wsum["hot"]
+
+        # --- pack the whole corpus into 2048-char windows ------------------
+        t0 = time.time()
+        packed = pack_sequences(
+            docs.withColumn("w", F.length("text")), "doc_id", "w", 2048,
+            bucket_hex=3)
+        agg = packed.agg(
+            F.min("start_offset").alias("lo"),
+            F.max(F.col("start_offset") + F.col("weight")).alias("hi"),
+            F.sum("weight").alias("tot"),
+            F.countDistinct("start_offset").alias("nd"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        wall = time.time() - t0
+        out["pack_wall_sec"] = round(wall, 1)
+        out["pack_rows_per_sec"] = round(n_docs / wall, 1)
+        out["pack_total_weight"] = agg["tot"]
+        # perfect concatenation: starts at 0, ends at the weight sum,
+        # all offsets distinct (with weights >= 1 that rules out any
+        # gap or overlap in the packed stream)
+        assert agg["lo"] == 0 and agg["hi"] == agg["tot"], agg
+        assert agg["nd"] == agg["n"] == n_docs, agg
 
         # --- decontaminate with planted benchmark -------------------------
         sub = docs.filter(F.col("doc_id") < n_decontam)
