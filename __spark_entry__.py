@@ -711,6 +711,23 @@ def _q_mix_token_budget(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def _q_doc_repetition(spark, sf_dir):
+    """Per-document repetition signals (operators/curation.py
+    repetition_stats): exact integer counters for duplicated lines and
+    repeated word 1-/5-grams — the "repetitious document" curation
+    gate. Spark explodes hashed units ((id, md5(unit), len) is all
+    that shuffles) through two skew-free groupBys; the oracle is the
+    definitional unnest/group form, list-sliced for the 5-grams (RE2
+    has no lookahead), so hash equality also re-proves the lookahead
+    gram extractor."""
+    from redisgraph_bulk_loader_spark.operators.curation import (
+        repetition_stats,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_stats(docs, "doc_id", "text", ngram_ns=(1, 5))
+
+
 def _q_mix_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (operators/mixing.py
     pack_sequences): lay every document end to end in md5(doc_id)
@@ -766,6 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_stratified_quota": _q_mix_stratified_quota,
         "mix_token_budget": _q_mix_token_budget,
         "mix_pack_sequences": _q_mix_pack_sequences,
+        "doc_repetition": _q_doc_repetition,
         "decontaminate": _q_decontaminate,
     }
 
@@ -1582,6 +1600,76 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS cum
               FROM documents)
             WHERE cum <= 2000
+        """,
+        "doc_repetition": """
+            WITH lf AS (
+              SELECT doc_id, trim(x) AS ln
+              FROM documents, unnest(string_split(text, chr(10))) AS u(x)
+            ),
+            lg AS (
+              SELECT doc_id, ln, length(ln) AS ll, COUNT(*) AS c
+              FROM lf WHERE ln <> '' GROUP BY 1, 2
+            ),
+            la AS (
+              SELECT doc_id,
+                     CAST(SUM(c) AS BIGINT) AS n_lines,
+                     CAST(SUM(c - 1) AS BIGINT) AS n_dup_lines,
+                     CAST(SUM((c - 1) * ll) AS BIGINT) AS dup_line_chars,
+                     CAST(SUM(c * ll) AS BIGINT) AS total_line_chars
+              FROM lg GROUP BY 1
+            ),
+            tok AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '') AS t
+              FROM documents
+            ),
+            wg AS (
+              SELECT doc_id, g, length(g) AS gl, COUNT(*) AS c
+              FROM (SELECT doc_id, unnest(t) AS g FROM tok)
+              GROUP BY 1, 2
+            ),
+            wa AS (
+              SELECT doc_id,
+                     CAST(MAX(c * gl) AS BIGINT) AS gram1_top_chars,
+                     CAST(SUM(CASE WHEN c >= 2 THEN c * gl ELSE 0 END)
+                          AS BIGINT) AS gram1_dup_chars,
+                     CAST(SUM(c * gl) AS BIGINT) AS gram1_total_chars
+              FROM wg GROUP BY 1
+            ),
+            fg AS (
+              SELECT doc_id, g, length(g) AS gl, COUNT(*) AS c
+              FROM (
+                SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+                FROM (SELECT doc_id, t,
+                             unnest(generate_series(1, len(t) - 4)) AS i
+                      FROM tok WHERE len(t) >= 5)
+              ) GROUP BY 1, 2
+            ),
+            fa AS (
+              SELECT doc_id,
+                     CAST(MAX(c * gl) AS BIGINT) AS gram5_top_chars,
+                     CAST(SUM(CASE WHEN c >= 2 THEN c * gl ELSE 0 END)
+                          AS BIGINT) AS gram5_dup_chars,
+                     CAST(SUM(c * gl) AS BIGINT) AS gram5_total_chars
+              FROM fg GROUP BY 1
+            )
+            SELECT d.doc_id,
+                   COALESCE(n_lines, 0) AS n_lines,
+                   COALESCE(n_dup_lines, 0) AS n_dup_lines,
+                   COALESCE(dup_line_chars, 0) AS dup_line_chars,
+                   COALESCE(total_line_chars, 0) AS total_line_chars,
+                   COALESCE(gram1_top_chars, 0) AS gram1_top_chars,
+                   COALESCE(gram1_dup_chars, 0) AS gram1_dup_chars,
+                   COALESCE(gram1_total_chars, 0) AS gram1_total_chars,
+                   COALESCE(gram5_top_chars, 0) AS gram5_top_chars,
+                   COALESCE(gram5_dup_chars, 0) AS gram5_dup_chars,
+                   COALESCE(gram5_total_chars, 0) AS gram5_total_chars
+            FROM documents d
+            LEFT JOIN la USING (doc_id)
+            LEFT JOIN wa USING (doc_id)
+            LEFT JOIN fa USING (doc_id)
         """,
         "mix_pack_sequences": """
             SELECT doc_id, weight, start_offset, start_bin, end_bin,

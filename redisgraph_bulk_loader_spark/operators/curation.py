@@ -84,3 +84,110 @@ def curate_corpus(
         raise ValueError("dedup must be 'exact', 'minhash', or 'none'")
     # id-only semi join: the text never rides the survivor shuffle
     return scored.join(survivors, id_col, "semi")
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    ngram_ns: Sequence[int] = (1, 5),
+    line_sep_re: str = r"\n",
+) -> DataFrame:
+    """Per-document repetition signals — the "repetitious document"
+    curation gate family (excessive repeated lines/n-grams is the
+    classic low-quality-page signature): one row per input document
+    with exact integer counters, so thresholds stay the caller's
+    policy and every column hashes exactly against a SQL twin.
+
+      n_lines            non-empty (post-trim) lines
+      n_dup_lines        repeat occurrences beyond each line's first
+      dup_line_chars     chars in those repeat occurrences (what a
+                         line-dedup pass would delete)
+      total_line_chars   chars across all non-empty lines
+      gram{n}_top_chars  count*len mass of the single most repeated
+                         word n-gram (0 when the doc has no n-gram)
+      gram{n}_dup_chars  total count*len mass of n-grams occurring
+                         more than once (overlapping occurrences each
+                         count — this is a repetition SIGNAL, not a
+                         char partition, so it may exceed total text
+                         length on degenerate input)
+      gram{n}_total_chars count*len mass of all n-gram occurrences
+
+    Fractions (e.g. the usual dup_line_char_frac) are one division
+    away: dup_line_chars / total_line_chars.
+
+    Shape at 100 TB: text is exploded once per requested n plus once
+    for lines, but only (id, md5(unit), length) ever rides a shuffle —
+    unit text is hashed in the scan stage. Each family is two skew-free
+    groupBys ((id, hash) then (id)) and the per-doc results rejoin on
+    the id column alone. No driver-side state, no windows."""
+    # same tokenizer as the decontamination gram extractor — one
+    # module owns the normalization rule
+    from .mixing import _alnum_ngram_occurrences
+
+    base = docs.select(F.col(id_col), F.col(text_col).alias("_t"))
+    ids = base.select(id_col)
+
+    def _mass_agg(unit_df, aggs):
+        groups = unit_df.groupBy(id_col, "_h").agg(
+            F.count("*").alias("_c"), F.max("_l").alias("_l")
+        )
+        return groups.groupBy(id_col).agg(*aggs)
+
+    mass = F.col("_c") * F.col("_l")
+    lines = (
+        base.select(
+            id_col, F.explode(F.split("_t", line_sep_re)).alias("_ln")
+        )
+        .select(id_col, F.trim("_ln").alias("_ln"))
+        .filter(F.col("_ln") != "")
+        .select(
+            id_col, F.md5("_ln").alias("_h"), F.length("_ln").alias("_l")
+        )
+    )
+    out = ids.join(
+        _mass_agg(
+            lines,
+            [
+                F.sum("_c").alias("n_lines"),
+                F.sum(F.col("_c") - 1).alias("n_dup_lines"),
+                F.sum((F.col("_c") - 1) * F.col("_l")).alias(
+                    "dup_line_chars"
+                ),
+                F.sum(mass).alias("total_line_chars"),
+            ],
+        ),
+        id_col,
+        "left",
+    )
+    stat_cols = ["n_lines", "n_dup_lines", "dup_line_chars",
+                 "total_line_chars"]
+    for n in ngram_ns:
+        grams = base.select(
+            id_col,
+            F.explode(_alnum_ngram_occurrences(F.col("_t"), n)).alias("_g"),
+        ).select(id_col, F.md5("_g").alias("_h"), F.length("_g").alias("_l"))
+        out = out.join(
+            _mass_agg(
+                grams,
+                [
+                    F.max(mass).alias(f"gram{n}_top_chars"),
+                    F.sum(
+                        F.when(F.col("_c") >= 2, mass).otherwise(F.lit(0))
+                    ).alias(f"gram{n}_dup_chars"),
+                    F.sum(mass).alias(f"gram{n}_total_chars"),
+                ],
+            ),
+            id_col,
+            "left",
+        )
+        stat_cols += [f"gram{n}_top_chars", f"gram{n}_dup_chars",
+                      f"gram{n}_total_chars"]
+    return out.select(
+        F.col(id_col),
+        *[
+            F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+            for c in stat_cols
+        ],
+    )

@@ -1354,3 +1354,84 @@ class TestCorpusCuration:
         # doc 1 fails the token gate; doc 2 (its near-dup) must still
         # survive — dedup runs over gate-passers only
         assert kept == [2, 3]
+
+
+class TestRepetitionStats:
+    @staticmethod
+    def _py_stats(text, ns=(1, 5)):
+        import re
+        from collections import Counter
+
+        lines = [ln.strip() for ln in text.split("\n")]
+        lines = [ln for ln in lines if ln]
+        lc = Counter(lines)
+        stats = {
+            "n_lines": sum(lc.values()),
+            "n_dup_lines": sum(c - 1 for c in lc.values()),
+            "dup_line_chars": sum((c - 1) * len(ln) for ln, c in lc.items()),
+            "total_line_chars": sum(c * len(ln) for ln, c in lc.items()),
+        }
+        toks = [t for t in re.split("[^a-z0-9]+", text.lower()) if t]
+        for n in ns:
+            grams = [" ".join(toks[i:i + n])
+                     for i in range(len(toks) - n + 1)]
+            gc = Counter(grams)
+            stats[f"gram{n}_top_chars"] = max(
+                (c * len(g) for g, c in gc.items()), default=0)
+            stats[f"gram{n}_dup_chars"] = sum(
+                c * len(g) for g, c in gc.items() if c >= 2)
+            stats[f"gram{n}_total_chars"] = sum(
+                c * len(g) for g, c in gc.items())
+        return stats
+
+    @pytest.fixture(scope="class")
+    def planted(self, spark):
+        docs = [
+            (0, "spam spam spam spam spam spam spam spam"),
+            (1, "line one\nline two\nline one\n line one \nline three"),
+            (2, "all words here are fully distinct tokens friend"),
+            (3, ""),
+            (4, "ab"),
+            (5, "x y z x y z x y z x y w"),
+            (6, "Mixed CASE, punct!! mixed case punct\nMixed CASE, punct!!"),
+        ]
+        return spark.createDataFrame(docs, "doc_id long, text string")
+
+    def test_matches_python_reference(self, planted):
+        from redisgraph_bulk_loader_spark.operators.curation import (
+            repetition_stats,
+        )
+
+        out = repetition_stats(planted).collect()
+        rows = {r["doc_id"]: r.asDict() for r in out}
+        texts = {r["doc_id"]: r["text"] for r in planted.collect()}
+        assert set(rows) == set(texts)
+        for did, text in texts.items():
+            expected = self._py_stats(text)
+            got = {k: v for k, v in rows[did].items() if k != "doc_id"}
+            assert got == expected, (did, got, expected)
+
+    def test_layout_invariant(self, planted):
+        from redisgraph_bulk_loader_spark.operators.curation import (
+            repetition_stats,
+        )
+
+        a = repetition_stats(planted)
+        b = repetition_stats(planted.repartition(5))
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
+    def test_repetitive_doc_flags_high(self, planted):
+        """The policy a user would write: the all-spam doc shows ~100%
+        dup word mass, the all-distinct doc shows 0."""
+        from redisgraph_bulk_loader_spark.operators.curation import (
+            repetition_stats,
+        )
+
+        rows = {r["doc_id"]: r for r in repetition_stats(planted).collect()}
+        assert rows[0]["gram1_dup_chars"] == rows[0]["gram1_total_chars"] > 0
+        assert rows[2]["gram1_dup_chars"] == 0
+        assert rows[3]["n_lines"] == 0 and rows[3]["gram1_total_chars"] == 0
+        # planted duplicate lines: doc 1 has 'line one' three times
+        assert rows[1]["n_dup_lines"] == 2
+        assert rows[1]["dup_line_chars"] == 2 * len("line one")
