@@ -711,6 +711,55 @@ def _q_mix_token_budget(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def _q_doc_pii_redact(spark, sf_dir):
+    """PII scrubbing (functions/text.py redact_pii / pii_count): plant
+    a deterministic email + phone + IPv4 into every document (pure
+    column concat — same expression in the oracle), then run the
+    staged redaction chain (email -> ipv4 -> phone, counts taken at
+    each stage on the already-partially-redacted text). Everything is
+    codegen regexp_replace/extract_all at scan speed; the patterns are
+    restricted to the Java-regex/RE2 common subset so the oracle twin
+    is the byte-identical definitional chain — the full redacted
+    string rides the value hash."""
+    from redisgraph_bulk_loader_spark.functions.text import (
+        pii_count,
+        redact_pii,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com tel +1 555-010-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".17"),
+        ).alias("_t"),
+    )
+    s1 = planted.select(
+        "doc_id",
+        pii_count(F.col("_t"), "email").alias("n_email"),
+        redact_pii(F.col("_t"), ("email",)).alias("_t"),
+    )
+    s2 = s1.select(
+        "doc_id",
+        "n_email",
+        pii_count(F.col("_t"), "ipv4").alias("n_ipv4"),
+        redact_pii(F.col("_t"), ("ipv4",)).alias("_t"),
+    )
+    return s2.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        pii_count(F.col("_t"), "phone").alias("n_phone"),
+        redact_pii(F.col("_t"), ("phone",)).alias("redacted"),
+    )
+
+
 def _q_doc_repetition(spark, sf_dir):
     """Per-document repetition signals (operators/curation.py
     repetition_stats): exact integer counters for duplicated lines and
@@ -784,6 +833,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_token_budget": _q_mix_token_budget,
         "mix_pack_sequences": _q_mix_pack_sequences,
         "doc_repetition": _q_doc_repetition,
+        "doc_pii_redact": _q_doc_pii_redact,
         "decontaminate": _q_decontaminate,
     }
 
@@ -1600,6 +1650,43 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS cum
               FROM documents)
             WHERE cum <= 2000
+        """,
+        "doc_pii_redact": """
+            WITH p AS (
+              SELECT doc_id,
+                     text || ' contact user' || CAST(doc_id AS VARCHAR)
+                          || '@example.com tel +1 555-010-'
+                          || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                          || ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.17' AS t
+              FROM documents
+            ),
+            s1 AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                       AS BIGINT) AS n_email,
+                     regexp_replace(t,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS t
+              FROM p
+            ),
+            s2 AS (
+              SELECT doc_id, n_email,
+                     CAST(len(regexp_extract_all(t,
+                       '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b'))
+                       AS BIGINT) AS n_ipv4,
+                     regexp_replace(t,
+                       '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b',
+                       '<IPV4>', 'g') AS t
+              FROM s1
+            )
+            SELECT doc_id, n_email, n_ipv4,
+                   CAST(len(regexp_extract_all(t,
+                     '\\+?[0-9][0-9()\\- ]{6,}[0-9]')) AS BIGINT) AS n_phone,
+                   regexp_replace(t, '\\+?[0-9][0-9()\\- ]{6,}[0-9]',
+                                  '<PHONE>', 'g') AS redacted
+            FROM s2
         """,
         "doc_repetition": """
             WITH lf AS (

@@ -127,7 +127,8 @@ def main():
                  "ann_self_join", "emb_dedup_clusters", "events_sessionize",
                  "media_near_dup", "corpus_curation",
                  "mix_stratified_quota", "mix_token_budget",
-                 "mix_pack_sequences", "doc_repetition", "decontaminate"]
+                 "mix_pack_sequences", "doc_repetition", "doc_pii_redact",
+                 "decontaminate"]
 
     def op_thunk(name):
         return lambda: qs[name](spark, sf_dir).count()

@@ -76,3 +76,43 @@ def doc_fingerprint(text: Column) -> Column:
     reproduce it exactly."""
     norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(norm)
+
+
+# PII scrubbing — patterns deliberately restricted to syntax with
+# identical semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+# character classes, greedy quantifiers, non-capturing groups, \b.
+# No lookarounds, no backreferences.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9][0-9()\- ]{6,}[0-9]",
+}
+
+# Application order is part of the contract: emails first (their
+# local/domain digits must not be half-eaten by the phone rule), then
+# IPv4 (dotted digit runs), then phones over whatever digits remain.
+PII_ORDER = ("email", "ipv4", "phone")
+
+
+def pii_count(text: Column, kind: str) -> Column:
+    """Number of ``kind`` PII matches in ``text`` (long). Note: counts
+    are stage-order dependent when composed — redact_pii counts each
+    kind on the text AFTER the earlier kinds were replaced."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0)
+    ).cast("long")
+
+
+def redact_pii(text: Column, kinds=PII_ORDER) -> Column:
+    """Replace each PII match with an uppercase ``<KIND>`` token,
+    applying ``kinds`` sequentially in the given order. Pure codegen
+    regexp_replace chain — runs at scan speed, no shuffle, no Python.
+    A training corpus is scrubbed with one withColumn."""
+    out = text
+    for kind in kinds:
+        if kind not in PII_PATTERNS:
+            raise ValueError(f"unknown PII kind {kind!r}")
+        out = F.regexp_replace(
+            out, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return out

@@ -190,3 +190,67 @@ class TestUpdater100k:
         for i in range(n):
             expect[i % 30_000] = f"v{i}"
         assert m == expect
+
+
+class TestPiiRedaction:
+    CASES = [
+        # (input, expected after full email->ipv4->phone chain)
+        ("mail a.b+c_d%e@sub.domain-x.org now",
+         "mail <EMAIL> now"),
+        ("two bob@x.io and ann@y.co here",
+         "two <EMAIL> and <EMAIL> here"),
+        ("server at 192.168.001.255 up",
+         "server at <IPV4> up"),
+        ("call +44 (0)20-7946 0958 now",
+         "call <PHONE> now"),
+        ("tel 5551234567.",
+         "tel <PHONE>."),
+        ("no pii in this sentence at all",
+         "no pii in this sentence at all"),
+        # order contract: the ip is gone before the phone pass, so the
+        # phone rule cannot half-eat a dotted quad
+        ("x 10.0.0.1 y 555-010-0421 z",
+         "x <IPV4> y <PHONE> z"),
+        ("", ""),
+    ]
+
+    def test_redaction_chain(self, spark):
+        from redisgraph_bulk_loader_spark.functions.text import redact_pii
+
+        df = spark.createDataFrame(
+            [(i, s) for i, (s, _) in enumerate(self.CASES)],
+            "i long, t string",
+        ).select("i", redact_pii(F.col("t")).alias("r"))
+        got = {r["i"]: r["r"] for r in df.collect()}
+        for i, (_, expected) in enumerate(self.CASES):
+            assert got[i] == expected, (i, got[i], expected)
+
+    def test_counts_match_python_re(self, spark):
+        import re
+
+        from redisgraph_bulk_loader_spark.functions.text import (
+            PII_PATTERNS,
+            pii_count,
+        )
+
+        texts = [s for s, _ in self.CASES] + [
+            "a@b.cc 1.2.3.4 +1 555 010 0000 c@d.ee 5.6.7.8"
+        ]
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "i long, t string"
+        )
+        for kind, pat in PII_PATTERNS.items():
+            got = {
+                r["i"]: r["n"]
+                for r in df.select(
+                    "i", pii_count(F.col("t"), kind).alias("n")
+                ).collect()
+            }
+            for i, t in enumerate(texts):
+                assert got[i] == len(re.findall(pat, t)), (kind, i, t)
+
+    def test_unknown_kind_rejected(self, spark):
+        from redisgraph_bulk_loader_spark.functions.text import redact_pii
+
+        with pytest.raises(ValueError):
+            redact_pii(F.lit("x"), ("ssn",))
