@@ -445,6 +445,27 @@ def _q_corpus_curation(spark, sf_dir):
     )
 
 
+def _q_corpus_curation_rep(spark, sf_dir):
+    """The curation conjunction with the repetitious-document gate
+    composed in (operators/curation.py curate_corpus
+    max_dup_gram_frac): scalar gates -> drop documents whose repeated
+    word-2-gram char mass exceeds 8% of their 2-gram mass
+    (repetition_stats semantics, computed over scalar-gate passers
+    only) -> exact-dedup survivorship over the docs passing BOTH. The
+    threshold splits the sf corpus non-trivially (p75 of the dup-mass
+    fraction is ~0.09)."""
+    from redisgraph_bulk_loader_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return curate_corpus(
+        docs, min_quality=0.5, languages=("latin",),
+        min_tokens=5, max_tokens=10_000, dedup="exact",
+        max_dup_gram_frac=0.08, rep_ngram=2,
+    )
+
+
 def _q_media_near_dup(spark, sf_dir):
     """Frame-hash Jaccard near-dup over media with planted duplicate
     groups (VERDICT r3 #8): for every synthesized audio object, an
@@ -827,6 +848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": _q_media_features,
         "media_near_dup": _q_media_near_dup,
         "corpus_curation": _q_corpus_curation,
+        "corpus_curation_rep": _q_corpus_curation_rep,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "mix_hash_sample": _q_mix_hash_sample,
         "mix_stratified_quota": _q_mix_stratified_quota,
@@ -1488,6 +1510,82 @@ def oracle_sql() -> dict[str, str]:
                   PARTITION BY md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g'))
                   ORDER BY d.doc_id) AS rk
                 FROM documents d SEMI JOIN passing p ON d.doc_id = p.doc_id
+              ) WHERE rk = 1
+            )
+            SELECT s.doc_id, s.n_tokens, s.quality, s.lang_guess
+            FROM scored s SEMI JOIN survivors v ON s.doc_id = v.doc_id
+            WHERE s.quality >= 0.5 AND s.lang_guess = 'latin'
+              AND s.n_tokens BETWEEN 5 AND 10000
+        """,
+        "corpus_curation_rep": rf"""
+            WITH scored AS (
+              SELECT doc_id,
+                CASE WHEN length(trim(text)) = 0 THEN 0
+                     ELSE len(string_split_regex(trim(text), '\s+')) END
+                  AS n_tokens,
+                ROUND(
+                  0.4 * (CASE WHEN length(trim(text)) > 0
+                         THEN CAST(length(regexp_replace(trim(text), '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+                              / length(trim(text))
+                         ELSE 0.0 END)
+                  + 0.3 * LEAST(length(trim(text)) / 500.0, 1.0)
+                  + 0.3 * LEAST(
+                      len(list_intersect(
+                            string_split_regex(lower(trim(text)), '\s+'),
+                            {_STOPWORDS_SQL})) / 4.0, 1.0),
+                  6) AS quality,
+                CASE
+                  WHEN CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1) > 0.2 THEN 'zh'
+                  WHEN CAST(length(regexp_replace(text, '[^Ѐ-ӿ]', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1) > 0.2 THEN 'ru'
+                  WHEN CAST(length(regexp_replace(text, '[^Ͱ-Ͽ]', '', 'g')) AS DOUBLE)
+                       / GREATEST(length(text), 1) > 0.2 THEN 'el'
+                  ELSE 'latin'
+                END AS lang_guess
+              FROM documents
+            ),
+            passing AS (
+              SELECT doc_id FROM scored
+              WHERE quality >= 0.5 AND lang_guess = 'latin'
+                AND n_tokens BETWEEN 5 AND 10000
+            ),
+            -- repetition gate over scalar-gate passers: word 2-gram
+            -- dup char mass must stay <= 8% of total 2-gram mass
+            wg AS (
+              SELECT doc_id, g, length(g) AS gl, COUNT(*) AS c
+              FROM (
+                SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+                FROM (
+                  SELECT doc_id, t,
+                         unnest(generate_series(1, len(t) - 1)) AS i
+                  FROM (
+                    SELECT d.doc_id,
+                           list_filter(
+                             regexp_split_to_array(lower(d.text),
+                                                   '[^a-z0-9]+'),
+                             x -> x <> '') AS t
+                    FROM documents d
+                    SEMI JOIN passing p ON d.doc_id = p.doc_id
+                  ) WHERE len(t) >= 2
+                )
+              ) GROUP BY 1, 2
+            ),
+            unrep AS (
+              SELECT p.doc_id FROM passing p LEFT JOIN (
+                SELECT doc_id,
+                       SUM(CASE WHEN c >= 2 THEN c * gl ELSE 0 END) AS dup,
+                       SUM(c * gl) AS tot
+                FROM wg GROUP BY 1) r USING (doc_id)
+              WHERE COALESCE(dup, 0) <= 0.08 * COALESCE(tot, 0)
+            ),
+            -- survivorship over docs passing BOTH gate families
+            survivors AS (
+              SELECT doc_id FROM (
+                SELECT d.doc_id, ROW_NUMBER() OVER (
+                  PARTITION BY md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g'))
+                  ORDER BY d.doc_id) AS rk
+                FROM documents d SEMI JOIN unrep u ON d.doc_id = u.doc_id
               ) WHERE rk = 1
             )
             SELECT s.doc_id, s.n_tokens, s.quality, s.lang_guess

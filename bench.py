@@ -126,6 +126,7 @@ def main():
                  "dedup_clusters", "ann_brute_force", "ann_lsh", "ann_ivf",
                  "ann_self_join", "emb_dedup_clusters", "events_sessionize",
                  "media_near_dup", "corpus_curation",
+                 "corpus_curation_rep",
                  "mix_stratified_quota", "mix_token_budget",
                  "mix_pack_sequences", "doc_repetition", "doc_pii_redact",
                  "decontaminate"]

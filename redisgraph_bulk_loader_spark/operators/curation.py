@@ -49,6 +49,8 @@ def curate_corpus(
     dedup: str = "exact",
     dedup_threshold: float = 0.5,
     portable: bool = False,
+    max_dup_gram_frac: float | None = None,
+    rep_ngram: int = 2,
 ) -> DataFrame:
     """One-pass curation: returns the surviving documents as
     (id_col, n_tokens, quality, lang_guess).
@@ -57,7 +59,16 @@ def curate_corpus(
     group (one shuffle); ``dedup='minhash'`` keeps near-dup cluster
     representatives via dedup_assignments (the 100 TB fuzzy path);
     ``dedup='none'`` skips the survivor gate. Survivorship runs over
-    the gate-passing subset (filter-then-dedup; see module doc)."""
+    the gate-passing subset (filter-then-dedup; see module doc).
+
+    ``max_dup_gram_frac`` (optional) adds the repetitious-document
+    gate between the scalar gates and dedup: drop documents whose
+    repeated word ``rep_ngram``-gram char mass exceeds that fraction
+    of their total gram mass (repetition_stats semantics). It runs
+    over scalar-gate passers only — the cheap gates shrink the
+    explode — and joins back by id, so text still never rides a
+    shuffle. Documents with no ``rep_ngram``-gram pass trivially
+    (0 <= frac * 0)."""
     scored = docs.select(
         F.col(id_col),
         token_count(F.col(text_col)).alias("n_tokens"),
@@ -68,6 +79,19 @@ def curate_corpus(
         & F.col("lang_guess").isin(*languages)
         & F.col("n_tokens").between(min_tokens, max_tokens)
     )
+    if max_dup_gram_frac is not None:
+        rep = repetition_stats(
+            docs.join(scored.select(id_col), id_col, "semi"),
+            id_col,
+            text_col,
+            ngram_ns=(rep_ngram,),
+        )
+        unrepetitive = rep.filter(
+            F.col(f"gram{rep_ngram}_dup_chars")
+            <= F.lit(max_dup_gram_frac)
+            * F.col(f"gram{rep_ngram}_total_chars")
+        ).select(id_col)
+        scored = scored.join(unrepetitive, id_col, "semi")
     if dedup == "none":
         return scored
     passing = docs.join(scored.select(id_col), id_col, "semi")

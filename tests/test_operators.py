@@ -1435,3 +1435,26 @@ class TestRepetitionStats:
         # planted duplicate lines: doc 1 has 'line one' three times
         assert rows[1]["n_dup_lines"] == 2
         assert rows[1]["dup_line_chars"] == 2 * len("line one")
+
+    def test_repetition_gate_composes(self, spark):
+        """max_dup_gram_frac drops the planted repetitive doc and only
+        it; None leaves the curation result unchanged."""
+        from redisgraph_bulk_loader_spark.operators.curation import (
+            curate_corpus,
+        )
+
+        good = ("the quick brown fox jumps over a lazy dog and then "
+                "walks on with many more fully distinct words after it")
+        spammy = ("the spam of spam and spam is spam for spam spam "
+                  "spam spam spam spam spam spam spam spam spam spam")
+        docs = spark.createDataFrame(
+            [(1, good), (2, spammy), (3, good + " entirely new tail")],
+            "doc_id long, text string",
+        )
+        kw = dict(min_quality=0.0, min_tokens=1, max_tokens=10**6,
+                  dedup="exact")
+        base = {r["doc_id"] for r in curate_corpus(docs, **kw).collect()}
+        gated = {r["doc_id"] for r in curate_corpus(
+            docs, max_dup_gram_frac=0.3, rep_ngram=1, **kw).collect()}
+        assert base == {1, 2, 3}
+        assert gated == {1, 3}
