@@ -1458,3 +1458,28 @@ class TestRepetitionStats:
             docs, max_dup_gram_frac=0.3, rep_ngram=1, **kw).collect()}
         assert base == {1, 2, 3}
         assert gated == {1, 3}
+
+    def test_local_and_exploded_impls_agree(self, spark, planted):
+        """The zero-shuffle fold and the exploded groupBy pipeline are
+        algorithm twins — byte-equal output on the planted fixture and
+        on a random-ish corpus, for several n."""
+        from redisgraph_bulk_loader_spark.operators.curation import (
+            repetition_stats,
+        )
+
+        soup = spark.range(0, 2000).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(" ", *[
+                F.concat(F.lit("w"), F.pmod(
+                    F.xxhash64(F.col("id"), F.lit(j)), F.lit(40)
+                ).cast("string"))
+                for j in range(25)
+            ]).alias("text"),
+        )
+        for df in (planted, soup):
+            a = repetition_stats(df, impl="local", ngram_ns=(1, 2, 5))
+            b = repetition_stats(df, impl="exploded", ngram_ns=(1, 2, 5))
+            assert a.exceptAll(b).count() == 0
+            assert b.exceptAll(a).count() == 0
+        with pytest.raises(ValueError):
+            repetition_stats(planted, impl="bogus")

@@ -40,9 +40,17 @@ def main():
     from redisgraph_bulk_loader_spark.operators.endpoints import (
         resolve_endpoints,
     )
+    from redisgraph_bulk_loader_spark.functions.text import (
+        pii_count,
+        redact_pii,
+    )
+    from redisgraph_bulk_loader_spark.operators.curation import (
+        repetition_stats,
+    )
     from redisgraph_bulk_loader_spark.operators.mixing import (
         decontaminate,
         hash_sample,
+        pack_sequences,
         stratified_quota_sample,
     )
     from redisgraph_bulk_loader_spark.extract import extract_mentions
@@ -99,6 +107,28 @@ def main():
          decontaminate(docs_t.filter("doc_id % 37 != 0"),
                        docs_t.filter("doc_id % 37 = 0"),
                        "doc_id", "text", n=5)),
+        ("pack_sequences: exact global prefix sum decomposed by hash "
+         "prefix — ONE data-scale Exchange (hashpartitioning on the "
+         "bucket), offsets dim aggregates to 16^k rows then "
+         "BroadcastExchange; no unpartitioned data-scale Window",
+         pack_sequences(docs_t, "doc_id", "n_chars", 2048)),
+        ("repetition_stats (default impl='local'): per-doc stats are "
+         "row-local, so the whole operator is ONE scan projection — "
+         "array_sort + aggregate folds, ZERO Exchange, zero join "
+         "(measured 2.7x warm / 15x cold vs the exploded twin at 1M "
+         "docs)",
+         repetition_stats(docs_t, "doc_id", "text", ngram_ns=(1, 5))),
+        ("repetition_stats impl='exploded' (cross-checked twin / "
+         "giant-single-doc fallback): explode projects to (id, md5, "
+         "len) before any Exchange — text never rides the shuffle; "
+         "two skew-free HashAggregates per family",
+         repetition_stats(docs_t, "doc_id", "text", ngram_ns=(1, 5),
+                          impl="exploded")),
+        ("redact_pii + pii_count: pure codegen regexp chain, ZERO "
+         "Exchange, rides the scan",
+         docs_t.select("doc_id",
+                       pii_count(F.col("text"), "email").alias("n"),
+                       redact_pii(F.col("text")).alias("r"))),
     ]
     out = io.StringIO()
     out.write(

@@ -18,6 +18,13 @@ scale, not just wall time:
   packed stream must be a perfect concatenation — min offset 0, max
   offset+weight == total weight, and every start offset distinct
   (weights >= 1 make gap-free equivalent to these three aggregates).
+- ``repetition_stats`` (word unigrams) over all ``n_docs`` rows with
+  planted fully-repetitive documents (id % 997 == 0 outside the
+  decontamination range gets a constant 20x-repeated word): the set of
+  documents whose duplicated-word char mass equals their total word
+  mass must be exactly the planted set (a hash-soup doc would need all
+  20 of its 1000-bucket words pairwise duplicated — probability ~0,
+  and the corpus is deterministic so the check is stable).
 - ``decontaminate`` over ``n_decontam`` docs with a planted benchmark:
   every 1000th doc's text IS a benchmark text (full n-gram overlap) and
   all other texts are unique hash-derived word soup, so the flagged
@@ -97,11 +104,18 @@ def main():
                             F.lit(1000)).cast("string"))
             for j in range(20)
         ]
+        # fully-repetitive plants for the repetition stage — kept out
+        # of the decontamination id range so they can't share grams
+        # with the benchmark subset
+        text = F.when(
+            (F.col("id") % 997 == 0) & (F.col("id") >= n_decontam),
+            F.lit(" ".join(["repword"] * 20)),
+        ).otherwise(F.concat_ws(" ", *words))
         corpus_path = os.path.join(out_root, "corpus")
         t0 = time.time()
         (spark.range(0, n_docs, numPartitions=int(cpus) * 4)
          .select(F.col("id").alias("doc_id"), stratum.alias("source"),
-                 F.concat_ws(" ", *words).alias("text"))
+                 text.alias("text"))
          .write.parquet(corpus_path))
         out["synth_sec"] = round(time.time() - t0, 1)
         docs = spark.read.parquet(corpus_path)
@@ -171,6 +185,31 @@ def main():
         # gap or overlap in the packed stream)
         assert agg["lo"] == 0 and agg["hi"] == agg["tot"], agg
         assert agg["nd"] == agg["n"] == n_docs, agg
+
+        # --- repetition stats with planted all-repeat docs -----------------
+        from redisgraph_bulk_loader_spark.operators.curation import (
+            repetition_stats,
+        )
+
+        n_planted = len(range((n_decontam + 996) // 997 * 997,
+                              n_docs, 997))
+        t0 = time.time()
+        rep = repetition_stats(docs, "doc_id", "text", ngram_ns=(1,))
+        flagged = rep.filter(
+            (F.col("gram1_dup_chars") == F.col("gram1_total_chars"))
+            & (F.col("gram1_total_chars") > 0))
+        stats = flagged.agg(
+            F.count("*").alias("n"),
+            F.sum(((F.col("doc_id") % 997 == 0)
+                   & (F.col("doc_id") >= n_decontam)).cast("long")
+                  ).alias("on_plant"),
+        ).collect()[0]
+        wall = time.time() - t0
+        out["repetition_wall_sec"] = round(wall, 1)
+        out["repetition_rows_per_sec"] = round(n_docs / wall, 1)
+        out["repetition_flagged"] = stats["n"]
+        assert stats["n"] == stats["on_plant"] == n_planted, (
+            stats, n_planted)
 
         # --- decontaminate with planted benchmark -------------------------
         sub = docs.filter(F.col("doc_id") < n_decontam)
