@@ -732,6 +732,33 @@ def _q_mix_token_budget(spark, sf_dir):
     ).select("doc_id", "source", "n_chars")
 
 
+def _q_dedup_lines_global(spark, sf_dir):
+    """Corpus-wide line dedup / boilerplate removal (operators/dedup.py
+    dedup_lines): every document is laid out as two 40-char content
+    lines plus a shared footer line (pure column concat, same
+    expression in the oracle); a non-blank line survives only at its
+    corpus-first (doc, position) occurrence, and documents are rebuilt
+    row-locally from their removed-position sets — text never rides a
+    shuffle. The footer must survive exactly once; colliding content
+    slices dedup too. The oracle is the definitional
+    window-rank-over-line form; the rebuilt text rides the value
+    hash."""
+    from redisgraph_bulk_loader_spark.operators.dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit("\n"),
+            F.substring("text", 41, 40),
+            F.lit("\n"),
+            F.lit("shared boilerplate footer line"),
+        ).alias("text"),
+    )
+    return dedup_lines(planted, "doc_id", "text")
+
+
 def _q_doc_pii_redact(spark, sf_dir):
     """PII scrubbing (functions/text.py redact_pii / pii_count): plant
     a deterministic email + phone + IPv4 into every document (pure
@@ -856,6 +883,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_pack_sequences": _q_mix_pack_sequences,
         "doc_repetition": _q_doc_repetition,
         "doc_pii_redact": _q_doc_pii_redact,
+        "dedup_lines_global": _q_dedup_lines_global,
         "decontaminate": _q_decontaminate,
     }
 
@@ -1748,6 +1776,48 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS cum
               FROM documents)
             WHERE cum <= 2000
+        """,
+        "dedup_lines_global": """
+            WITH p AS (
+              SELECT doc_id,
+                     substr(text, 1, 40) || chr(10)
+                       || substr(text, 41, 40) || chr(10)
+                       || 'shared boilerplate footer line' AS t
+              FROM documents
+            ),
+            ls AS (SELECT doc_id, string_split(t, chr(10)) AS a FROM p),
+            l AS (
+              SELECT doc_id, i - 1 AS idx, a[i] AS ln
+              FROM (SELECT doc_id, a,
+                           unnest(generate_series(1, len(a))) AS i
+                    FROM ls)
+            ),
+            rem AS (
+              SELECT doc_id, idx FROM (
+                SELECT doc_id, idx,
+                       ROW_NUMBER() OVER (
+                         PARTITION BY ln ORDER BY doc_id, idx) AS rn
+                FROM l WHERE trim(ln) <> ''
+              ) WHERE rn > 1
+            ),
+            kept AS (
+              SELECT l.doc_id, l.idx, l.ln
+              FROM l ANTI JOIN rem USING (doc_id, idx)
+            ),
+            agg AS (
+              SELECT doc_id,
+                     string_agg(ln, chr(10) ORDER BY idx) AS t
+              FROM kept GROUP BY doc_id
+            ),
+            rc AS (
+              SELECT doc_id, COUNT(*) AS n FROM rem GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   COALESCE(a.t, '') AS text,
+                   COALESCE(rc.n, 0) AS n_lines_removed
+            FROM documents d
+            LEFT JOIN agg a USING (doc_id)
+            LEFT JOIN rc USING (doc_id)
         """,
         "doc_pii_redact": """
             WITH p AS (

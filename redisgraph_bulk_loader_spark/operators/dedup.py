@@ -421,3 +421,80 @@ def embedding_dedup_assignments(
             F.coalesce(F.col("_rep"), F.col(id_col)).alias("rep_id"),
         )
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    line_sep: str = "\n",
+    scope: str = "global",
+) -> DataFrame:
+    """Line-level deduplication, the boilerplate-removal pass a web
+    corpus gets before document-level dedup (shared footers, cookie
+    banners, nav menus repeat across millions of pages while the
+    documents containing them stay distinct).
+
+    Rule: a line participates if it is non-empty after trim (empty
+    lines are document structure and always survive). With
+    ``scope='global'`` a participating line is kept iff this
+    (document, position) is the line text's FIRST occurrence in the
+    whole corpus, ordered by (id, position) — every later copy is
+    deleted. ``scope='doc'`` applies the same rule within each
+    document only. Returns (id_col, text_col rebuilt with the
+    surviving lines, n_lines_removed).
+
+    Shape at 100 TB: the duplicate decision shuffles only
+    (md5(line), id, position); winners resolve with one groupBy-min
+    (no window, no skew — a boilerplate line shared by 10^8 docs is
+    one group row), and ONLY the removed (id, position) pairs — sparse
+    by construction — shuffle back. Document text never rides any
+    exchange: reassembly is a row-local split + index-filter +
+    rejoin against the doc's own removed-position array.
+
+    ``line_sep`` is a literal separator (regex-escaped for the split,
+    used verbatim for the rejoin)."""
+    import re as _re
+
+    if scope not in ("global", "doc"):
+        raise ValueError(f"scope must be 'global' or 'doc', got {scope!r}")
+    sep_re = _re.escape(line_sep)
+    parts = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep_re, -1)).alias(
+            "_idx", "_ln"
+        ),
+    ).filter(F.trim("_ln") != "")
+    keyed = parts.select(
+        id_col, "_idx", F.md5("_ln").alias("_h")
+    )
+    group_keys = ["_h"] if scope == "global" else [id_col, "_h"]
+    first = keyed.groupBy(*group_keys).agg(
+        F.min(F.struct(F.col(id_col).alias("i"), F.col("_idx").alias("p"))
+              ).alias("_w")
+    )
+    removed = (
+        keyed.join(first, group_keys)
+        .filter(
+            (F.col(id_col) != F.col("_w.i")) | (F.col("_idx") != F.col("_w.p"))
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("_idx")).alias("_rm"))
+    )
+    rebuilt = F.array_join(
+        F.filter(
+            F.split(F.col(text_col), sep_re, -1),
+            lambda x, i: ~F.array_contains(F.col("_rm"), i),
+        ),
+        line_sep,
+    )
+    return docs.join(removed, id_col, "left").select(
+        F.col(id_col),
+        F.when(F.col("_rm").isNull(), F.col(text_col))
+        .otherwise(rebuilt)
+        .alias(text_col),
+        F.coalesce(F.size("_rm"), F.lit(0)).cast("long").alias(
+            "n_lines_removed"
+        ),
+    )

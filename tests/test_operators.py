@@ -1483,3 +1483,81 @@ class TestRepetitionStats:
             assert b.exceptAll(a).count() == 0
         with pytest.raises(ValueError):
             repetition_stats(planted, impl="bogus")
+
+
+class TestDedupLines:
+    @staticmethod
+    def _py_ref(rows, scope="global", sep="\n"):
+        seen = set()
+        out = {}
+        for did, text in sorted(rows):
+            if scope == "doc":
+                seen = set()
+            keep, removed = [], 0
+            for ln in text.split(sep):
+                if ln.strip() == "":
+                    keep.append(ln)
+                elif ln in seen:
+                    removed += 1
+                else:
+                    seen.add(ln)
+                    keep.append(ln)
+            out[did] = (sep.join(keep), removed)
+        return out
+
+    @pytest.fixture(scope="class")
+    def corpus(self, spark):
+        footer = "copyright footer all rights reserved"
+        rows = [
+            (0, f"alpha unique zero\n\n{footer}"),
+            (1, f"beta unique one\nbeta unique one\n{footer}"),
+            (2, f"{footer}\ngamma unique two\n  \n{footer}"),
+            (3, ""),
+            (4, footer),
+            (5, "delta five\ndelta five"),
+        ]
+        return rows, spark.createDataFrame(rows, "doc_id long, text string")
+
+    def test_global_matches_python_reference(self, corpus):
+        from redisgraph_bulk_loader_spark.operators.dedup import dedup_lines
+
+        rows, df = corpus
+        expected = self._py_ref(rows, "global")
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines_removed"])
+            for r in dedup_lines(df).collect()
+        }
+        assert got == expected, (got, expected)
+        # the planted footer survives exactly once, in doc 0
+        assert "copyright" in got[0][0]
+        assert all("copyright" not in got[i][0] for i in (1, 2, 4))
+
+    def test_doc_scope_matches_python_reference(self, corpus):
+        from redisgraph_bulk_loader_spark.operators.dedup import dedup_lines
+
+        rows, df = corpus
+        expected = self._py_ref(rows, "doc")
+        got = {
+            r["doc_id"]: (r["text"], r["n_lines_removed"])
+            for r in dedup_lines(df, scope="doc").collect()
+        }
+        assert got == expected, (got, expected)
+        # footer survives once PER DOC now
+        assert "copyright" in got[4][0] and "copyright" in got[1][0]
+
+    def test_layout_invariant_and_custom_sep(self, corpus):
+        from redisgraph_bulk_loader_spark.operators.dedup import dedup_lines
+
+        _, df = corpus
+        a = dedup_lines(df)
+        b = dedup_lines(df.repartition(7))
+        assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+        piped = df.select(
+            "doc_id", F.regexp_replace("text", "\n", "|").alias("text"))
+        c = {r["doc_id"]: r["text"]
+             for r in dedup_lines(piped, line_sep="|").collect()}
+        expect = {r["doc_id"]: r["text"].replace("\n", "|")
+                  for r in a.collect()}
+        assert c == expect
+        with pytest.raises(ValueError):
+            dedup_lines(df, scope="corpus")

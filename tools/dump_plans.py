@@ -35,6 +35,7 @@ def main():
     from redisgraph_bulk_loader_spark.link import build_alias_dim, link_mentions
     from redisgraph_bulk_loader_spark.operators.dedup import (
         dedup_assignments,
+        dedup_lines,
         minhash_lsh_dedup_pairs,
     )
     from redisgraph_bulk_loader_spark.operators.endpoints import (
@@ -129,6 +130,11 @@ def main():
          docs_t.select("doc_id",
                        pii_count(F.col("text"), "email").alias("n"),
                        redact_pii(F.col("text")).alias("r"))),
+        ("dedup_lines global: (md5(line), id, pos) is all that rides "
+         "the dup-decision shuffle; groupBy-min (no window) resolves "
+         "winners; only sparse removed positions join back and the "
+         "document rebuild is a row-local HOF filter",
+         dedup_lines(docs_t)),
     ]
     out = io.StringIO()
     out.write(
