@@ -25,6 +25,12 @@ scale, not just wall time:
   mass must be exactly the planted set (a hash-soup doc would need all
   20 of its 1000-bucket words pairwise duplicated — probability ~0,
   and the corpus is deterministic so the check is stable).
+- ``dedup_lines`` (global) over all ``n_docs`` rows with a boilerplate
+  footer line appended to EVERY document (the 10M-doc footer is ONE
+  groupBy-min row — the exact shape a window-based winner pick would
+  funnel through one reducer): total removals must equal
+  (n_docs - 1) footer copies + (n_planted - 1) duplicated all-repeat
+  first lines.
 - ``decontaminate`` over ``n_decontam`` docs with a planted benchmark:
   every 1000th doc's text IS a benchmark text (full n-gram overlap) and
   all other texts are unique hash-derived word soup, so the flagged
@@ -210,6 +216,30 @@ def main():
         out["repetition_flagged"] = stats["n"]
         assert stats["n"] == stats["on_plant"] == n_planted, (
             stats, n_planted)
+
+        # --- global line dedup with a ubiquitous footer --------------------
+        from redisgraph_bulk_loader_spark.operators.dedup import dedup_lines
+
+        footered = docs.select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit("\nshared boilerplate footer line")
+            ).alias("text"),
+        )
+        t0 = time.time()
+        deduped = dedup_lines(footered, "doc_id", "text")
+        agg = deduped.agg(
+            F.sum("n_lines_removed").alias("rm"),
+            F.count("*").alias("n"),
+        ).collect()[0]
+        wall = time.time() - t0
+        out["lines_wall_sec"] = round(wall, 1)
+        out["lines_rows_per_sec"] = round(n_docs / wall, 1)
+        out["lines_removed"] = agg["rm"]
+        # footer removed everywhere but its first doc; the n_planted
+        # identical all-repeat first lines collapse to one
+        assert agg["n"] == n_docs and agg["rm"] == (
+            (n_docs - 1) + (n_planted - 1)), (agg, n_planted)
 
         # --- decontaminate with planted benchmark -------------------------
         sub = docs.filter(F.col("doc_id") < n_decontam)
