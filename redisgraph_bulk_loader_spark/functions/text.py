@@ -98,6 +98,8 @@ def pii_count(text: Column, kind: str) -> Column:
     """Number of ``kind`` PII matches in ``text`` (long). Note: counts
     are stage-order dependent when composed — redact_pii counts each
     kind on the text AFTER the earlier kinds were replaced."""
+    if kind not in PII_PATTERNS:
+        raise ValueError(f"unknown PII kind {kind!r}")
     return F.size(
         F.regexp_extract_all(text, F.lit(PII_PATTERNS[kind]), 0)
     ).cast("long")

@@ -224,10 +224,12 @@ def _repetition_stats_local(
 ) -> DataFrame:
     from .mixing import _alnum_ngram_occurrences
 
+    # NULL text behaves like '' so the two impls stay byte-equal (the
+    # exploded form's explode drops null rows and its left join then
+    # zero-fills them)
+    text = F.coalesce(F.col(text_col), F.lit(""))
     lines_arr = F.filter(
-        F.transform(
-            F.split(F.col(text_col), line_sep_re), lambda x: F.trim(x)
-        ),
+        F.transform(F.split(text, line_sep_re), lambda x: F.trim(x)),
         lambda x: x != "",
     )
     lf = _unit_fold(F.array_sort(lines_arr))
@@ -239,9 +241,7 @@ def _repetition_stats_local(
         lf["total"].alias("total_line_chars"),
     ]
     for n in ngram_ns:
-        gf = _unit_fold(
-            F.array_sort(_alnum_ngram_occurrences(F.col(text_col), n))
-        )
+        gf = _unit_fold(F.array_sort(_alnum_ngram_occurrences(text, n)))
         cols += [
             gf["top"].alias(f"gram{n}_top_chars"),
             gf["dup"].alias(f"gram{n}_dup_chars"),

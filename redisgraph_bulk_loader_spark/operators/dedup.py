@@ -448,10 +448,13 @@ def dedup_lines(
     Shape at 100 TB: the duplicate decision shuffles only
     (md5(line), id, position); winners resolve with one groupBy-min
     (no window, no skew — a boilerplate line shared by 10^8 docs is
-    one group row), and ONLY the removed (id, position) pairs — sparse
-    by construction — shuffle back. Document text never rides any
-    exchange: reassembly is a row-local split + index-filter +
-    rejoin against the doc's own removed-position array.
+    one group row), the removed set is a THREE-key anti-join
+    (hash, id, position), so the hot line's occurrences stay spread
+    across partitions instead of funneling into one hash bucket, and
+    ONLY the removed (id, position) pairs — sparse by construction —
+    shuffle back. Document text never rides any exchange: reassembly
+    is a row-local split + index-filter + rejoin against the doc's
+    own removed-position array.
 
     ``line_sep`` is a literal separator (regex-escaped for the split,
     used verbatim for the rejoin)."""
@@ -474,11 +477,13 @@ def dedup_lines(
         F.min(F.struct(F.col(id_col).alias("i"), F.col("_idx").alias("p"))
               ).alias("_w")
     )
+    winners = first.select(
+        F.col("_h"),
+        F.col("_w.i").alias(id_col),
+        F.col("_w.p").alias("_idx"),
+    )
     removed = (
-        keyed.join(first, group_keys)
-        .filter(
-            (F.col(id_col) != F.col("_w.i")) | (F.col("_idx") != F.col("_w.p"))
-        )
+        keyed.join(winners, ["_h", id_col, "_idx"], "left_anti")
         .groupBy(id_col)
         .agg(F.sort_array(F.collect_list("_idx")).alias("_rm"))
     )
@@ -494,7 +499,10 @@ def dedup_lines(
         F.when(F.col("_rm").isNull(), F.col(text_col))
         .otherwise(rebuilt)
         .alias(text_col),
-        F.coalesce(F.size("_rm"), F.lit(0)).cast("long").alias(
-            "n_lines_removed"
-        ),
+        # explicit null branch, not coalesce(size(...), 0): with ANSI
+        # off (legacy sizeOfNull) size(NULL) is -1, not NULL
+        F.when(F.col("_rm").isNull(), F.lit(0))
+        .otherwise(F.size("_rm"))
+        .cast("long")
+        .alias("n_lines_removed"),
     )

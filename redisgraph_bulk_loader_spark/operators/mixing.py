@@ -192,6 +192,10 @@ def _alnum_ngram_occurrences(text: Column, n: int) -> Column:
     hash equality is the cross-check that the regex really enumerates
     the sliding windows. n == 1 degenerates to plain tokenization
     (the lookahead pattern handles it, but split() is cheaper)."""
+    if n < 1:
+        # n - 1 lands in a regex repetition count: fail loudly at plan
+        # build instead of PatternSyntaxException inside the first task
+        raise ValueError(f"ngram n must be >= 1, got {n}")
     norm = F.trim(F.regexp_replace(F.lower(text), "[^a-z0-9]+", " "))
     if n == 1:
         return F.when(norm == "", F.array().cast("array<string>")).otherwise(
@@ -300,14 +304,28 @@ def pack_sequences(
     oracle twin in __spark_entry__ is the naive global window — hash
     equality proves the decomposition exact. Weights must be >= 1 (a
     zero-length document occupies no units and has no well-defined
-    bin span)."""
+    bin span) — violations raise inside the projection, same inline
+    strict-validation idiom as resolve_endpoints. Bin indices use
+    integer division end to end (long `div`, never double `/`): at
+    packed-stream offsets past 2^53 a double quotient rounds before
+    floor and misplaces documents by one window."""
     if window <= 0:
         raise ValueError(f"window must be positive, got {window}")
     if not 1 <= bucket_hex <= 8:
         raise ValueError(f"bucket_hex must be in [1,8], got {bucket_hex}")
     ord_key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    w_raw = F.col(weight_col).cast("long")
+    w_err = F.concat(
+        F.lit("pack_sequences requires weight >= 1, got "),
+        F.coalesce(w_raw.cast("string"), F.lit("null")),
+        F.lit(" for id "),
+        F.coalesce(F.col(id_col).cast("string"), F.lit("null")),
+    )
+    w_checked = F.when(
+        w_raw.isNull() | (w_raw < 1), F.raise_error(w_err)
+    ).otherwise(w_raw)
     keys = (
-        df.select(F.col(id_col), F.col(weight_col).cast("long").alias("_w"))
+        df.select(F.col(id_col), w_checked.alias("_w"))
         .withColumn("_ord", ord_key)
         .withColumn("_b", F.substring("_ord", 1, bucket_hex))
     )
@@ -334,8 +352,13 @@ def pack_sequences(
             F.col(id_col),
             F.col("_w").alias("weight"),
             start.alias("start_offset"),
-            F.floor(start / window).alias("start_bin"),
-            F.floor((start + F.col("_w") - 1) / window).alias("end_bin"),
+        )
+        .withColumn(
+            "start_bin", F.expr(f"start_offset div {int(window)}")
+        )
+        .withColumn(
+            "end_bin",
+            F.expr(f"(start_offset + weight - 1) div {int(window)}"),
         )
         .withColumn(
             "n_bins", F.col("end_bin") - F.col("start_bin") + F.lit(1)

@@ -250,7 +250,12 @@ class TestPiiRedaction:
                 assert got[i] == len(re.findall(pat, t)), (kind, i, t)
 
     def test_unknown_kind_rejected(self, spark):
-        from redisgraph_bulk_loader_spark.functions.text import redact_pii
+        from redisgraph_bulk_loader_spark.functions.text import (
+            pii_count,
+            redact_pii,
+        )
 
         with pytest.raises(ValueError):
             redact_pii(F.lit("x"), ("ssn",))
+        with pytest.raises(ValueError):
+            pii_count(F.lit("x"), "ssn")

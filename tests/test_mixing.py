@@ -377,3 +377,29 @@ class TestPackSequences:
             pack_sequences(corpus, "doc_id", "doc_id", 0)
         with pytest.raises(ValueError):
             pack_sequences(corpus, "doc_id", "doc_id", 10, bucket_hex=0)
+
+    def test_weight_below_one_raises_inline(self, spark):
+        """The docstring's weight >= 1 contract is enforced inside the
+        projection (resolve_endpoints idiom), not silently violated."""
+        from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            pack_sequences,
+        )
+
+        for w in (0, None):
+            df = spark.createDataFrame(
+                [(1, 5), (2, w)], "doc_id long, w int")
+            with pytest.raises(SparkRuntimeException, match="weight >= 1"):
+                pack_sequences(df, "doc_id", "w", 10).collect()
+
+    def test_ngram_n_validated_at_plan_build(self, corpus):
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            _alnum_ngram_occurrences,
+            decontaminate,
+        )
+
+        with pytest.raises(ValueError, match="must be >= 1"):
+            _alnum_ngram_occurrences(F.col("text"), 0)
+        with pytest.raises(ValueError, match="must be >= 1"):
+            decontaminate(corpus, corpus.limit(1), n=0)

@@ -1467,6 +1467,8 @@ class TestRepetitionStats:
             repetition_stats,
         )
 
+        nulls = spark.createDataFrame(
+            [(100, None), (101, "plain text")], "doc_id long, text string")
         soup = spark.range(0, 2000).select(
             F.col("id").alias("doc_id"),
             F.concat_ws(" ", *[
@@ -1476,7 +1478,7 @@ class TestRepetitionStats:
                 for j in range(25)
             ]).alias("text"),
         )
-        for df in (planted, soup):
+        for df in (planted, soup, nulls):
             a = repetition_stats(df, impl="local", ngram_ns=(1, 2, 5))
             b = repetition_stats(df, impl="exploded", ngram_ns=(1, 2, 5))
             assert a.exceptAll(b).count() == 0
