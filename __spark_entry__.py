@@ -759,6 +759,32 @@ def _q_dedup_lines_global(spark, sf_dir):
     return dedup_lines(planted, "doc_id", "text")
 
 
+def _q_boilerplate_lines(spark, sf_dir):
+    """Boilerplate discovery (operators/dedup.py boilerplate_lines):
+    over the same planted layout as dedup_lines_global (two 40-char
+    content slices + a shared footer per doc), report the 50 most
+    widespread non-blank lines with document reach and occurrence
+    counts — the audit a curation engineer runs before enabling line
+    dedup. The top-k cut tie-breaks on md5(line) in BOTH engines; the
+    global top-k runs as TakeOrdered (no global sort shuffle)."""
+    from redisgraph_bulk_loader_spark.operators.dedup import (
+        boilerplate_lines,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit("\n"),
+            F.substring("text", 41, 40),
+            F.lit("\n"),
+            F.lit("shared boilerplate footer line"),
+        ).alias("text"),
+    )
+    return boilerplate_lines(planted, "doc_id", "text", k=50, min_docs=2)
+
+
 def _q_doc_pii_redact(spark, sf_dir):
     """PII scrubbing (functions/text.py redact_pii / pii_count): plant
     a deterministic email + phone + IPv4 into every document (pure
@@ -884,6 +910,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _q_doc_repetition,
         "doc_pii_redact": _q_doc_pii_redact,
         "dedup_lines_global": _q_dedup_lines_global,
+        "boilerplate_lines": _q_boilerplate_lines,
         "decontaminate": _q_decontaminate,
     }
 
@@ -1776,6 +1803,34 @@ def oracle_sql() -> dict[str, str]:
                        ROWS UNBOUNDED PRECEDING) AS cum
               FROM documents)
             WHERE cum <= 2000
+        """,
+        "boilerplate_lines": """
+            WITH p AS (
+              SELECT doc_id,
+                     substr(text, 1, 40) || chr(10)
+                       || substr(text, 41, 40) || chr(10)
+                       || 'shared boilerplate footer line' AS t
+              FROM documents
+            ),
+            l AS (
+              SELECT doc_id, trim(x) AS ln
+              FROM p, unnest(string_split(t, chr(10))) AS u(x)
+            ),
+            per_doc AS (
+              SELECT ln, doc_id, COUNT(*) AS c
+              FROM l WHERE ln <> '' GROUP BY 1, 2
+            ),
+            counts AS (
+              SELECT ln,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(c) AS BIGINT) AS n_occurrences
+              FROM per_doc GROUP BY 1
+              HAVING COUNT(*) >= 2
+            )
+            SELECT ln AS line, n_docs, n_occurrences
+            FROM counts
+            ORDER BY n_docs DESC, n_occurrences DESC, md5(ln)
+            LIMIT 50
         """,
         "dedup_lines_global": """
             WITH p AS (

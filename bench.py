@@ -129,7 +129,7 @@ def main():
                  "corpus_curation_rep",
                  "mix_stratified_quota", "mix_token_budget",
                  "mix_pack_sequences", "doc_repetition", "doc_pii_redact",
-                 "dedup_lines_global", "decontaminate"]
+                 "dedup_lines_global", "boilerplate_lines", "decontaminate"]
 
     def op_thunk(name):
         return lambda: qs[name](spark, sf_dir).count()

@@ -506,3 +506,76 @@ def dedup_lines(
         .cast("long")
         .alias("n_lines_removed"),
     )
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 100,
+    min_docs: int = 2,
+    line_sep: str = "\n",
+) -> DataFrame:
+    """Boilerplate discovery — the audit companion to dedup_lines:
+    the ``k`` most widespread non-blank lines across the corpus, as
+    (line, n_docs, n_occurrences), ordered by document reach. This is
+    what a curation engineer looks at BEFORE turning on line dedup
+    (is the top line a cookie banner or a legitimate quote?).
+
+    Ties break lexicographically on the line so the result is
+    deterministic. Lines below ``min_docs`` distinct documents are
+    dropped (a line seen once is content, not boilerplate).
+
+    Shape at 100 TB: one narrow (md5(line), id) projection, a
+    two-level count-distinct-style aggregate ((hash, id) then hash —
+    skew-free partial aggregation), and a global exact top-k which
+    Spark executes as TakeOrdered (per-partition heaps + driver merge
+    of k rows, no global sort shuffle). Line text rejoins only for
+    the k winners via a broadcast-scale semi-join."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sep_re = __import__("re").escape(line_sep)
+    lines = (
+        docs.select(
+            F.col(id_col),
+            F.explode(F.split(F.col(text_col), sep_re, -1)).alias("_ln"),
+        )
+        .select(id_col, F.trim("_ln").alias("_ln"))
+        .filter(F.col("_ln") != "")
+        .select(id_col, F.md5("_ln").alias("_h"))
+    )
+    per_doc = lines.groupBy("_h", id_col).agg(F.count("*").alias("_c"))
+    counts = per_doc.groupBy("_h").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("_c").alias("n_occurrences"),
+    ).filter(F.col("n_docs") >= min_docs)
+    # rejoin the k winners' text: winners are k rows, so the hash ->
+    # text lookup broadcasts; distinct first so one doc's repeats
+    # don't fan the join
+    top = counts.orderBy(
+        F.desc("n_docs"), F.desc("n_occurrences"), "_h"
+    ).limit(k)
+    texts = (
+        docs.select(
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.transform(
+                            F.split(F.col(text_col), sep_re, -1),
+                            lambda x: F.trim(x),
+                        ),
+                        lambda x: x != "",
+                    )
+                )
+            ).alias("line")
+        )
+        .select(F.md5("line").alias("_h"), "line")
+        .groupBy("_h")
+        .agg(F.min("line").alias("line"))
+    )
+    return (
+        top.join(texts, "_h")
+        .orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "line")
+        .select("line", "n_docs", "n_occurrences")
+    )

@@ -1563,3 +1563,50 @@ class TestDedupLines:
         assert c == expect
         with pytest.raises(ValueError):
             dedup_lines(df, scope="corpus")
+
+
+class TestBoilerplateLines:
+    def test_matches_python_reference(self, spark):
+        from collections import Counter
+
+        from redisgraph_bulk_loader_spark.operators.dedup import (
+            boilerplate_lines,
+        )
+
+        footer = "all rights reserved"
+        rows = [
+            (0, f"alpha\n{footer}\nbeta"),
+            (1, f"{footer}\n{footer}\nbeta"),
+            (2, f"gamma\n{footer}"),
+            (3, "alpha\n  \n"),
+            (4, "solo line"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = [(r["line"], r["n_docs"], r["n_occurrences"])
+               for r in boilerplate_lines(df, k=10).collect()]
+        docs_per, occ_per = Counter(), Counter()
+        for _, text in rows:
+            lines = [ln.strip() for ln in text.split("\n") if ln.strip()]
+            occ_per.update(lines)
+            docs_per.update(set(lines))
+        expect = sorted(
+            ((ln, docs_per[ln], occ_per[ln]) for ln in docs_per
+             if docs_per[ln] >= 2),
+            key=lambda t: (-t[1], -t[2], t[0]),
+        )
+        assert got == expect
+        assert got[0] == (footer, 3, 4)
+
+    def test_k_cut_and_min_docs(self, spark):
+        from redisgraph_bulk_loader_spark.operators.dedup import (
+            boilerplate_lines,
+        )
+
+        df = spark.createDataFrame(
+            [(i, "shared\nuniq%d" % i) for i in range(20)],
+            "doc_id long, text string",
+        )
+        out = boilerplate_lines(df, k=5).collect()
+        assert len(out) == 1 and out[0]["line"] == "shared"
+        with pytest.raises(ValueError):
+            boilerplate_lines(df, k=0)
