@@ -118,6 +118,26 @@ spark.stop()
 """
 
 
+BURN = r"""
+import sys, time
+cores = int(sys.argv[1])
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master(f"local[{cores}]")
+         .config("spark.ui.enabled", "false")
+         .config("spark.driver.memory", "8g").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+spark.range(0, 10_000_000, numPartitions=cores * 2).selectExpr(
+    "sum(id % 1000003)").collect()
+n = 2_000_000_000
+t0 = time.time()
+spark.range(0, n, numPartitions=cores * 4).selectExpr(
+    "sum((id % 1000003) * (id % 97))").collect()
+import json
+print(json.dumps({"cores": cores, "rows_per_sec": n / (time.time() - t0)}))
+spark.stop()
+"""
+
+
 def run_py(code: str, *args, timeout=3000) -> str:
     out = subprocess.run(
         [sys.executable, "-c", code, *map(str, args)],
@@ -145,6 +165,17 @@ def main():
                     [l for l in out.splitlines() if l.startswith("{")][-1]))
         rn = min(runs[N_CORES], key=lambda r: r["wall_sec"])
         rx = min(runs[XN_CORES], key=lambda r: r["wall_sec"])
+        # Window-validity control: an embarrassingly-parallel pure-JVM
+        # codegen burn at both core counts. If the BOX can't deliver
+        # ~4x between 2 and 8 threads (hypervisor steal, co-tenants),
+        # no job measured in the same window can — the control makes
+        # each artifact self-certifying instead of requiring the
+        # reader to trust that the window was quiet.
+        burn = {}
+        for cores in (N_CORES, XN_CORES):
+            outs = [json.loads(run_py(BURN, cores)) for _ in range(2)]
+            burn[cores] = max(o["rows_per_sec"] for o in outs)
+        burn_eff = burn[XN_CORES] / (4 * burn[N_CORES])
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     eff = rx["docs_per_sec"] / (4 * rn["docs_per_sec"])
@@ -156,6 +187,11 @@ def main():
         "scaling_efficiency": round(eff, 3),
         "criterion": ">=0.8",
         "pass": eff >= 0.8,
+        "control_jvm_burn_eff": round(burn_eff, 3),
+        "control_jvm_burn_rows_per_sec": {
+            str(k): round(v / 1e6, 1) for k, v in burn.items()
+        },
+        "window_valid": burn_eff >= 0.9,
         "note": ("N=2 vs 4N=8 cores: this box scales linearly to 8 "
                  "threads; beyond that a single JVM + 16 physical cores "
                  "(SMT) + hypervisor steal cap added capacity at ~2.1x "
