@@ -177,3 +177,83 @@ def test_scan_quote_state_matches_csv_record_boundaries(rows):
     got_nonempty = [g for g in got if g != []]
     exp_nonempty = [e for e in expected if e != []]
     assert got_nonempty == exp_nonempty
+
+
+class TestUnitFoldProperties:
+    """The row-local repetition fold (operators/curation._unit_fold)
+    against a Counter-based reference, over arbitrary unit multisets.
+    One Spark job evaluates ALL drawn cases (hypothesis drives the
+    data generation only, not per-example Spark jobs)."""
+
+    def test_fold_matches_counter_reference(self, spark):
+        from collections import Counter
+
+        from pyspark.sql import functions as F
+
+        from redisgraph_bulk_loader_spark.operators.curation import (
+            _unit_fold,
+        )
+
+        import random
+
+        rng = random.Random(42)
+        vocab = ["a", "bb", "ccc", "dddd", "e" * 7, "x"]
+        cases = [[]]
+        for _ in range(200):
+            cases.append(
+                [rng.choice(vocab) for _ in range(rng.randrange(0, 30))]
+            )
+        df = spark.createDataFrame(
+            [(i, units) for i, units in enumerate(cases)],
+            "i long, units array<string>",
+        )
+        fold = _unit_fold(F.array_sort(F.col("units")))
+        got = {
+            r["i"]: (r["s"]["top"], r["s"]["dup"], r["s"]["rep_n"],
+                     r["s"]["rep_chars"], r["s"]["total"])
+            for r in df.select("i", fold.alias("s")).collect()
+        }
+        for i, units in enumerate(cases):
+            c = Counter(units)
+            expect = (
+                max((n * len(u) for u, n in c.items()), default=0),
+                sum(n * len(u) for u, n in c.items() if n >= 2),
+                sum(n - 1 for n in c.values()),
+                sum((n - 1) * len(u) for u, n in c.items()),
+                sum(n * len(u) for u, n in c.items()),
+            )
+            assert got[i] == expect, (i, units, got[i], expect)
+
+
+class TestPackSequencesProperties:
+    def test_random_weights_match_reference(self, spark):
+        """Placements over random weights/windows equal the
+        single-stream python layout, for several windows in one job."""
+        import hashlib
+        import random
+
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            pack_sequences,
+        )
+
+        rng = random.Random(7)
+        rows = [(i, rng.randrange(1, 5000)) for i in range(3000)]
+        df = spark.createDataFrame(rows, "doc_id long, w long")
+        for window in (1, 17, 4096):
+            out = pack_sequences(df, "doc_id", "w", window)
+            got = {
+                r["doc_id"]: (r["start_offset"], r["start_bin"],
+                              r["end_bin"])
+                for r in out.collect()
+            }
+            order = sorted(
+                rows,
+                key=lambda t: (
+                    hashlib.md5(str(t[0]).encode()).hexdigest(), t[0]),
+            )
+            off = 0
+            for did, w in order:
+                assert got[did] == (
+                    off, off // window, (off + w - 1) // window), (
+                    window, did)
+                off += w

@@ -737,3 +737,51 @@ class TestStreamingDedupTws:
             else:
                 spark.conf.unset(
                     "spark.sql.streaming.stateStore.providerClass")
+
+
+class TestStatelessCurationOnStreams:
+    def test_hash_sample_and_redaction_stream_equals_batch(
+        self, spark, tmp_path
+    ):
+        """The stateless recipe ops (hash_sample filter, redact_pii
+        projection) run unchanged inside Structured Streaming — they
+        are pure row-wise/codegen transforms, so a streamed corpus
+        must select and redact EXACTLY the rows the batch plan does,
+        regardless of micro-batch boundaries (two input files =>
+        at least two read units under availableNow)."""
+        from redisgraph_bulk_loader_spark.functions.text import redact_pii
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            hash_sample,
+        )
+
+        src = tmp_path / "src"
+        out = []
+        rows = [
+            (i, f"doc {i} mail u{i}@ex{i % 7}.org tel +1 555 010 {i:04d}")
+            for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        df.filter("doc_id < 200").write.parquet(str(src / "a"))
+        df.filter("doc_id >= 200").write.parquet(str(src / "b"))
+
+        def xform(frame):
+            return hash_sample(frame, "doc_id", 0.4).select(
+                "doc_id", redact_pii(F.col("text")).alias("text"))
+
+        stream = spark.readStream.schema(
+            "doc_id long, text string").parquet(str(src / "*"))
+        q = (
+            xform(stream)
+            .writeStream.foreachBatch(
+                lambda b, _: out.extend(
+                    (r["doc_id"], r["text"]) for r in b.collect()))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        batch = {(r["doc_id"], r["text"])
+                 for r in xform(spark.read.parquet(str(src / "*"))).collect()}
+        assert set(out) == batch and len(out) == len(batch)
+        assert 0 < len(batch) < 400
+        assert all("@" not in t and "<EMAIL>" in t for _, t in out)
