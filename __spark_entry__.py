@@ -851,6 +851,29 @@ def _q_doc_repetition(spark, sf_dir):
     return repetition_stats(docs, "doc_id", "text", ngram_ns=(1, 5))
 
 
+def _q_mix_proportions(spark, sf_dir):
+    """Per-source proportional sampling (operators/mixing.py
+    proportional_sample): the "keep 100% of src0, 60% of src1, 25% of
+    src2, 5% of src3, default 50% elsewhere" mixing-recipe draw in
+    one scan — a broadcast recipe dim maps each source to its own
+    md5 threshold. The oracle is the literal same per-source
+    threshold predicate (lowercase-hex compare is engine-identical),
+    so the hash check proves threshold routing AND the default
+    fallback."""
+    from redisgraph_bulk_loader_spark.operators.mixing import (
+        proportional_sample,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return proportional_sample(
+        docs,
+        "source",
+        "doc_id",
+        {"src0": 1.0, "src1": 0.6, "src2": 0.25, "src3": 0.05},
+        default_fraction=0.5,
+    ).select("doc_id", "source", "n_chars")
+
+
 def _q_mix_pack_sequences(spark, sf_dir):
     """Concat-and-chunk sequence packing (operators/mixing.py
     pack_sequences): lay every document end to end in md5(doc_id)
@@ -907,6 +930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mix_stratified_quota": _q_mix_stratified_quota,
         "mix_token_budget": _q_mix_token_budget,
         "mix_pack_sequences": _q_mix_pack_sequences,
+        "mix_proportions": _q_mix_proportions,
         "doc_repetition": _q_doc_repetition,
         "doc_pii_redact": _q_doc_pii_redact,
         "dedup_lines_global": _q_dedup_lines_global,
@@ -1980,6 +2004,17 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN la USING (doc_id)
             LEFT JOIN wa USING (doc_id)
             LEFT JOIN fa USING (doc_id)
+        """,
+        "mix_proportions": """
+            SELECT doc_id, source, n_chars FROM documents
+            WHERE md5(CAST(doc_id AS VARCHAR)) <
+              CASE source
+                WHEN 'src0' THEN 'g'
+                WHEN 'src1' THEN '99999999999998000000000000000000'
+                WHEN 'src2' THEN '40000000000000000000000000000000'
+                WHEN 'src3' THEN '0ccccccccccccd000000000000000000'
+                ELSE '80000000000000000000000000000000'
+              END
         """,
         "mix_pack_sequences": """
             SELECT doc_id, weight, start_offset, start_bin, end_bin,

@@ -127,6 +127,7 @@ def main():
                  "ann_self_join", "emb_dedup_clusters", "events_sessionize",
                  "media_near_dup", "corpus_curation",
                  "corpus_curation_rep",
+                 "mix_proportions",
                  "mix_stratified_quota", "mix_token_budget",
                  "mix_pack_sequences", "doc_repetition", "doc_pii_redact",
                  "dedup_lines_global", "boilerplate_lines", "decontaminate"]

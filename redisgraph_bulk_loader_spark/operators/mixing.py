@@ -37,9 +37,16 @@ from pyspark.sql import functions as F
 def _hash_threshold_hex(fraction: float) -> str:
     """32-hex-char literal t such that P[md5(x) < t] == fraction under
     the uniform-hash assumption. String comparison of lowercase hex is
-    identical in Spark and DuckDB, so the same literal twins exactly."""
+    identical in Spark and DuckDB, so the same literal twins exactly.
+
+    fraction == 1.0 returns 'g' — one char above the hex alphabet, so
+    every digest sorts below it. (The arithmetic form would emit the
+    33-char '1' + 32 zeros, which sorts BELOW any digest not starting
+    with '0' and would silently keep only ~1/16 of rows.)"""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0,1], got {fraction}")
+    if fraction >= 1.0:
+        return "g"
     return format(int(fraction * (16 ** 32)), "032x")
 
 
@@ -61,6 +68,52 @@ def hash_sample(
     splits from one corpus)."""
     key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
     return df.filter(F.md5(key) < F.lit(_hash_threshold_hex(fraction)))
+
+
+def proportional_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str,
+    fractions: dict,
+    *,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sampling — the "40% of web,
+    100% of books, 5% of logs" step of a data-mixing recipe, in ONE
+    scan: each stratum gets its own md5 threshold from a broadcast
+    recipe dim. Strata absent from ``fractions`` fall back to
+    ``default_fraction`` (0.0 = drop unlisted sources, the usual
+    recipe contract: unlisted means unwanted).
+
+    Like hash_sample this is a pure function of (stratum's fraction,
+    row key): reruns, resumes, and layout changes select the same
+    rows; distinct ``salt`` values draw independent samples. The
+    recipe dim is len(fractions) rows — broadcast by construction —
+    so the plan is a BroadcastHashJoin feeding a codegen filter; the
+    corpus never shuffles."""
+    for s, f in fractions.items():
+        if not 0.0 <= f <= 1.0:
+            raise ValueError(f"fraction for stratum {s!r} must be in "
+                             f"[0,1], got {f}")
+    if not 0.0 <= default_fraction <= 1.0:
+        raise ValueError(
+            f"default_fraction must be in [0,1], got {default_fraction}")
+    spark = df.sparkSession
+    dim = F.broadcast(
+        spark.createDataFrame(
+            [(str(s), _hash_threshold_hex(f)) for s, f in fractions.items()],
+            "_sk string, _thr string",
+        )
+    )
+    key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
+    default_thr = F.lit(_hash_threshold_hex(default_fraction))
+    return (
+        df.withColumn("_sk", F.col(strata_col).cast("string"))
+        .join(dim, "_sk", "left")
+        .filter(key < F.coalesce(F.col("_thr"), default_thr))
+        .drop("_sk", "_thr")
+    )
 
 
 def stratified_quota_sample(

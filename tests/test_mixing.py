@@ -403,3 +403,50 @@ class TestPackSequences:
             _alnum_ngram_occurrences(F.col("text"), 0)
         with pytest.raises(ValueError, match="must be >= 1"):
             decontaminate(corpus, corpus.limit(1), n=0)
+
+
+class TestProportionalSample:
+    def test_routes_per_stratum_thresholds(self, corpus):
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            hash_sample,
+            proportional_sample,
+        )
+
+        out = proportional_sample(
+            corpus, "source", "doc_id",
+            {"s0": 1.0, "s1": 0.3}, default_fraction=0.0)
+        got = {s: {r["doc_id"] for r in rows} for s, rows in (
+            (s, out.filter(F.col("source") == s).collect())
+            for s in ("s0", "s1", "s2"))}
+        s0_all = {r["doc_id"] for r in
+                  corpus.filter("source = 's0'").collect()}
+        s1_sampled = {r["doc_id"] for r in hash_sample(
+            corpus.filter("source = 's1'"), "doc_id", 0.3).collect()}
+        assert got["s0"] == s0_all          # fraction 1.0 keeps ALL
+        assert got["s1"] == s1_sampled      # same rows as hash_sample
+        assert got["s2"] == set()           # default 0.0 drops unlisted
+        # original column order/names preserved
+        assert out.columns == corpus.columns
+
+    def test_fraction_one_keeps_everything(self, corpus):
+        """Regression: the arithmetic threshold for 1.0 was the
+        33-char '1'+32 zeros, which silently kept only digests
+        starting with '0'."""
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            _hash_threshold_hex,
+            hash_sample,
+        )
+
+        assert _hash_threshold_hex(1.0) == "g"
+        assert hash_sample(corpus, "doc_id", 1.0).count() == corpus.count()
+
+    def test_bad_fractions_rejected(self, corpus):
+        from redisgraph_bulk_loader_spark.operators.mixing import (
+            proportional_sample,
+        )
+
+        with pytest.raises(ValueError):
+            proportional_sample(corpus, "source", "doc_id", {"s0": 1.5})
+        with pytest.raises(ValueError):
+            proportional_sample(corpus, "source", "doc_id", {},
+                                default_fraction=-0.1)
