@@ -52,6 +52,7 @@ def main():
         decontaminate,
         hash_sample,
         pack_sequences,
+        proportional_sample,
         stratified_quota_sample,
     )
     from redisgraph_bulk_loader_spark.extract import extract_mentions
@@ -130,6 +131,12 @@ def main():
          docs_t.select("doc_id",
                        pii_count(F.col("text"), "email").alias("n"),
                        redact_pii(F.col("text")).alias("r"))),
+        ("proportional_sample: per-source fractions via a broadcast "
+         "recipe dim — BroadcastHashJoin + codegen threshold filter, "
+         "ZERO corpus Exchange",
+         proportional_sample(docs_t, "source", "doc_id",
+                             {"src0": 1.0, "src1": 0.25},
+                             default_fraction=0.5)),
         ("dedup_lines global: (md5(line), id, pos) is all that rides "
          "the dup-decision shuffle; groupBy-min (no window) resolves "
          "winners; only sparse removed positions join back and the "
