@@ -20,21 +20,45 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _bind_once(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass it to ``fn`` as a bound
+    lambda variable. Higher-order functions evaluate their lambda body
+    interpreted with NO common-subexpression elimination, so a closure
+    that references ``expr`` directly re-evaluates the whole subtree
+    per array element — for shingling that made the tokenizing split
+    O(tokens^2) per document (measured 28 s vs 4 s for one explode pass
+    over sf1.0 documents). Wrapping the value in a 1-element array and
+    transforming it binds the evaluated value to a lambda variable,
+    which element lookups then reference for free."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def char_shingles(col: Column, n: int = 3) -> Column:
     """Distinct character n-grams of a string as array<string>."""
     padded = F.concat(F.lit(" "), F.lower(F.trim(col)), F.lit(" "))
-    idx = F.sequence(F.lit(1), F.greatest(F.length(padded) - (n - 1), F.lit(1)))
-    return F.array_distinct(F.transform(idx, lambda i: padded.substr(i, F.lit(n))))
+
+    def from_padded(p: Column) -> Column:
+        idx = F.sequence(
+            F.lit(1), F.greatest(F.length(p) - (n - 1), F.lit(1))
+        )
+        return F.array_distinct(
+            F.transform(idx, lambda i: p.substr(i, F.lit(n)))
+        )
+
+    return _bind_once(padded, from_padded)
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:
     """Distinct word n-grams as array<string> (whitespace tokenized)."""
     toks = F.split(F.lower(F.trim(col)), r"\s+")
-    k = F.size(toks)
-    idx = F.sequence(F.lit(0), F.greatest(k - n, F.lit(0)))
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
-    )
+
+    def from_toks(t: Column) -> Column:
+        idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+        return F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, n), " "))
+        )
+
+    return _bind_once(toks, from_toks)
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:

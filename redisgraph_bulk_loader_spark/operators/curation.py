@@ -30,11 +30,11 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import language_id, quality_score, token_count
-from .dedup import dedup_assignments, exact_dedup
+from .dedup import dedup_assignments
 
 
 def curate_corpus(
@@ -69,43 +69,90 @@ def curate_corpus(
     explode — and joins back by id, so text still never rides a
     shuffle. Documents with no ``rep_ngram``-gram pass trivially
     (0 <= frac * 0)."""
-    scored = docs.select(
-        F.col(id_col),
-        token_count(F.col(text_col)).alias("n_tokens"),
-        quality_score(F.col(text_col)).alias("quality"),
-        language_id(F.col(text_col)).alias("lang_guess"),
-    ).filter(
+    # ALL gates are per-row functions of the text, so they evaluate in
+    # ONE scan projection + filter (r6: the previous composition
+    # re-derived the gate-passing set per consumer — the semi joins each
+    # re-ran the scan + text functions, 14 parquet scans of the corpus
+    # in the rep configuration; now 1). The repetition gate
+    # (repetition_stats semantics) is row-local too: computing it
+    # inline over all rows instead of scalar-gate passers changes cost
+    # ordering only, never the surviving set — the filter conjunction
+    # keeps the cheap scalar gates ahead of the fold so codegen's
+    # short-circuit And skips the fold for scalar-gate failures.
+    scalar_gate = (
         (F.col("quality") >= min_quality)
         & F.col("lang_guess").isin(*languages)
         & F.col("n_tokens").between(min_tokens, max_tokens)
     )
+    cols = [
+        F.col(id_col),
+        token_count(F.col(text_col)).alias("n_tokens"),
+        quality_score(F.col(text_col)).alias("quality"),
+        language_id(F.col(text_col)).alias("lang_guess"),
+    ]
+    gate = scalar_gate
     if max_dup_gram_frac is not None:
-        rep = repetition_stats(
-            docs.join(scored.select(id_col), id_col, "semi"),
-            id_col,
-            text_col,
-            ngram_ns=(rep_ngram,),
+        from .mixing import _alnum_ngram_occurrences
+
+        # same NULL-as-'' convention as repetition_stats (moot under
+        # the scalar gates — null text has null n_tokens — but keeps
+        # the inline gate a faithful twin of the operator)
+        gf = _unit_fold(F.array_sort(_alnum_ngram_occurrences(
+            F.coalesce(F.col(text_col), F.lit("")), rep_ngram)))
+        cols.append(gf.alias("_gf"))
+        gate = gate & (
+            F.col("_gf")["dup"]
+            <= F.lit(max_dup_gram_frac) * F.col("_gf")["total"]
         )
-        unrepetitive = rep.filter(
-            F.col(f"gram{rep_ngram}_dup_chars")
-            <= F.lit(max_dup_gram_frac)
-            * F.col(f"gram{rep_ngram}_total_chars")
-        ).select(id_col)
-        scored = scored.join(unrepetitive, id_col, "semi")
-    if dedup == "none":
-        return scored
-    passing = docs.join(scored.select(id_col), id_col, "semi")
+    out_cols = [id_col, "n_tokens", "quality", "lang_guess"]
+    from .skew import ensure_min_parallelism
+
+    spread = ensure_min_parallelism(docs)
     if dedup == "exact":
-        survivors = exact_dedup(passing, id_col, text_col).select(id_col)
-    elif dedup == "minhash":
-        assigned = dedup_assignments(
-            passing, id_col, text_col, threshold=dedup_threshold,
-            method="minhash", portable=portable,
+        # Survivor check without re-reading the corpus: the fingerprint
+        # is one more scan-side expression, and "is the min id of my
+        # content group AMONG gate passers" is a CONDITIONAL window-min
+        # (min(when(gate, id)) over fp) — one narrow shuffle
+        # ((id, stats, fp) rows), text never rides it. Deliberately NO
+        # filter below the window: a deterministic scan-column filter
+        # always sinks below every exchange to the file scan, which on
+        # a low-partition source (one ~200 MB parquet file = 2 splits)
+        # would run the whole regex/fold gate chain on 2 cores. With
+        # the gate folded into the window aggregate + one post-window
+        # filter, the stats projection executes BETWEEN the
+        # ensure_min_parallelism exchange and the fp exchange — full
+        # parallelism — and the filter (referencing the window output)
+        # cannot be pushed below either. At production scale the source
+        # has many splits, ensure_min_parallelism is a plan no-op, and
+        # the same shape holds.
+        from ..functions.text import doc_fingerprint
+
+        cols.append(doc_fingerprint(F.col(text_col)).alias("_fp"))
+        scored = spread.select(*cols)
+        w = Window.partitionBy("_fp")
+        return (
+            scored.withColumn(
+                "_cmin", F.min(F.when(gate, F.col(id_col))).over(w))
+            .filter(gate & (F.col(id_col) == F.col("_cmin")))
+            .select(*out_cols)
         )
-        survivors = assigned.filter(
-            F.col(id_col) == F.col("rep_id")).select(id_col)
-    else:
+    scored = spread.select(*cols).filter(gate)
+    if dedup == "none":
+        return scored.select(*out_cols)
+    if dedup != "minhash":
         raise ValueError("dedup must be 'exact', 'minhash', or 'none'")
+    # minhash survivorship needs the text back: pin the (small) scored
+    # frame so the gate scan runs once, not once per consumer
+    from ..cache import pin
+
+    scored = pin(scored.select(*out_cols))
+    passing = docs.join(scored.select(id_col), id_col, "semi")
+    assigned = dedup_assignments(
+        passing, id_col, text_col, threshold=dedup_threshold,
+        method="minhash", portable=portable,
+    )
+    survivors = assigned.filter(
+        F.col(id_col) == F.col("rep_id")).select(id_col)
     # id-only semi join: the text never rides the survivor shuffle
     return scored.join(survivors, id_col, "semi")
 
