@@ -50,12 +50,15 @@ def brute_force_topk(
 ) -> DataFrame:
     """(query_id, neighbor_id, cos_sim, rank) exact top-k per query.
     ``queries`` must be small (broadcast side)."""
+    from .skew import ensure_min_parallelism
+
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
         )
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
+    c = ensure_min_parallelism(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     scored = (
         c.crossJoin(q)
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -133,12 +136,17 @@ def ann_self_join_pairs(
     rows_per_band = bits // bands
     mask = (1 << rows_per_band) - 1
 
+    from ..cache import pin
     from .skew import ensure_min_parallelism
 
     sig = _signature_udf(planes)
-    base = ensure_min_parallelism(corpus).select(
+    # Three consumers reference base (banding + both verify-join
+    # sides); without the pin each re-runs the scan + Arrow signature
+    # pass. Registered with the session cache registry
+    # (release_pins() reclaims in long-lived sessions).
+    base = pin(ensure_min_parallelism(corpus).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
-    ).withColumn("_sig", sig(F.col("_v")))
+    ).withColumn("_sig", sig(F.col("_v"))))
     banded = base.select(
         "_id",
         F.explode(
@@ -248,11 +256,16 @@ def ivf_topk(
     assignment is one numpy matmul per batch."""
     from pyspark.sql import Window as W
 
+    from ..cache import pin
     from .skew import ensure_min_parallelism
 
     # every Lloyd iteration and the final cell assignment run an Arrow
-    # matmul over the corpus — spread a single-file source first
-    corpus = ensure_min_parallelism(corpus)
+    # matmul over the corpus — spread a single-file source first, and
+    # pin the (id, vector) projection: n_iters + 2 jobs re-reference it
+    # (init collect, each Lloyd pass, the final assignment), and
+    # without the pin each re-pays scan + spread shuffle.
+    corpus = pin(
+        ensure_min_parallelism(corpus).select(id_col, vec_col))
 
     # init: the n_centroids lowest-id vectors, re-keyed 0..m-1
     init_rows = (
@@ -263,21 +276,31 @@ def ivf_topk(
     cents = [list(r[vec_col]) for r in init_rows]
 
     # Lloyd steps: assign every vector to its nearest centroid, then
-    # per-dimension mean per cell (dim avg aggregates, one job each)
+    # the per-cell mean via posexplode -> ONE avg aggregate grouped by
+    # (cell, position). The previous form built dim separate
+    # F.avg(_v[i]) aggregate expressions — thousands of Catalyst
+    # aggregates per iteration at production embedding widths
+    # (768-4096), a planner/codegen blowup; this shape is
+    # dimension-count-independent (VERDICT r5 #2). The collected
+    # (cell, pos, mean) rows assemble driver-side: m x dim doubles.
     for _ in range(n_iters):
         step_cell = _nearest_cell_udf(cells, cents)
         assigned = corpus.select(
             F.col(vec_col).alias("_v")
         ).withColumn("_cell", step_cell(F.col("_v")))
-        cent_rows = (
-            assigned.groupBy("_cell")
-            .agg(F.array(*[F.avg(F.col("_v")[i]) for i in range(dim)])
-                 .alias("_c"))
+        mean_rows = (
+            assigned.select("_cell", F.posexplode("_v").alias("_pos", "_x"))
+            .groupBy("_cell", "_pos")
+            .agg(F.avg("_x").alias("_m"))
             .collect()
         )
-        cent_rows.sort(key=lambda r: r["_cell"])
-        cells = [r["_cell"] for r in cent_rows]
-        cents = [list(r["_c"]) for r in cent_rows]
+        by_cell: dict = {}
+        for r in mean_rows:
+            by_cell.setdefault(r["_cell"], {})[r["_pos"]] = r["_m"]
+        cells = sorted(by_cell)
+        cents = [
+            [by_cell[c][p] for p in sorted(by_cell[c])] for c in cells
+        ]
 
     cell_of = _nearest_cell_udf(cells, cents)
     c = corpus.select(

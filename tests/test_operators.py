@@ -813,6 +813,27 @@ class TestIvfAnn:
                    brute_force_topk(emb, queries, k=5).collect())
         assert a == b
 
+    def test_wide_dim_lloyd_full_probe_exact(self, spark):
+        """VERDICT r5 #2: the Lloyd centroid update must survive real
+        embedding widths. The posexplode + groupBy(cell, pos) mean is
+        ONE aggregate regardless of dim (the old per-dimension
+        F.avg(_v[i]) array built dim Catalyst aggregates — a
+        planner/codegen blowup at 768+); run a dim=768 fit with
+        multiple Lloyd steps and check exactness under full probing."""
+        from redisgraph_bulk_loader_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        emb = self._emb(spark, n=150, dim=768)
+        queries = emb.filter(F.col("vec_id") < 2)
+        a = sorted((r.query_id, r.rank, r.neighbor_id) for r in ivf_topk(
+            emb, queries, k=3, n_centroids=4, n_probe=4, dim=768,
+            n_iters=2).collect())
+        b = sorted((r.query_id, r.rank, r.neighbor_id) for r in
+                   brute_force_topk(emb, queries, k=3).collect())
+        assert a == b
+
     def test_partial_probe_subset_and_shape(self, spark):
         """Partial probing returns k ranked rows per query drawn only
         from probed cells; ranks are 1..k and cosine-descending."""
