@@ -457,7 +457,15 @@ def dedup_lines(
     own removed-position array.
 
     ``line_sep`` is a literal separator (regex-escaped for the split,
-    used verbatim for the rejoin)."""
+    used verbatim for the rejoin).
+
+    NOTE (ADVICE r5): duplicate detection here keys on the RAW line
+    bytes, while the ``boilerplate_lines`` audit keys on the TRIMMED
+    line — indentation/whitespace variants of a footer count as ONE
+    audit line but are NOT collapsed by removal. This is deliberate:
+    removal is byte-exact (rebuilt text must be a pure deletion of
+    whole duplicate lines), the audit is trim-normalized (a curation
+    engineer cares about the footer's reach, not its indentation)."""
     import re as _re
 
     if scope not in ("global", "doc"):

@@ -65,7 +65,12 @@ def hash_sample(
     same corpus on a different cluster layout selects the SAME rows,
     which is what a reproducible training-data recipe needs. Distinct
     ``salt`` values draw independent samples (e.g. train/holdout
-    splits from one corpus)."""
+    splits from one corpus).
+
+    Null ``id_col`` rows are always dropped, at any fraction
+    (md5(concat(null, salt)) is null and a null comparison is
+    null-false; ADVICE r5) — coalesce the key with a sentinel
+    upstream if null ids must participate."""
     key = F.concat(F.col(id_col).cast("string"), F.lit(salt))
     return df.filter(F.md5(key) < F.lit(_hash_threshold_hex(fraction)))
 
@@ -91,7 +96,15 @@ def proportional_sample(
     rows; distinct ``salt`` values draw independent samples. The
     recipe dim is len(fractions) rows — broadcast by construction —
     so the plan is a BroadcastHashJoin feeding a codegen filter; the
-    corpus never shuffles."""
+    corpus never shuffles.
+
+    Null ``id_col`` rows are always dropped, at any fraction
+    (md5(concat(null, salt)) is null and a null comparison is
+    null-false) — same contract as ``hash_sample``; coalesce the key
+    upstream if null ids must participate. Internal working columns
+    are collision-checked against ``df``'s schema (ADVICE r5: the old
+    '_sk'/'_thr' names silently clobbered same-named input
+    columns)."""
     for s, f in fractions.items():
         if not 0.0 <= f <= 1.0:
             raise ValueError(f"fraction for stratum {s!r} must be in "
@@ -100,19 +113,25 @@ def proportional_sample(
         raise ValueError(
             f"default_fraction must be in [0,1], got {default_fraction}")
     spark = df.sparkSession
+    sk, thr = "__mix_sk", "__mix_thr"
+    for c in (sk, thr):
+        if c in df.columns:
+            raise ValueError(
+                f"proportional_sample reserves column name {c!r}; "
+                "rename it in the input")
     dim = F.broadcast(
         spark.createDataFrame(
             [(str(s), _hash_threshold_hex(f)) for s, f in fractions.items()],
-            "_sk string, _thr string",
+            f"{sk} string, {thr} string",
         )
     )
     key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt)))
     default_thr = F.lit(_hash_threshold_hex(default_fraction))
     return (
-        df.withColumn("_sk", F.col(strata_col).cast("string"))
-        .join(dim, "_sk", "left")
-        .filter(key < F.coalesce(F.col("_thr"), default_thr))
-        .drop("_sk", "_thr")
+        df.withColumn(sk, F.col(strata_col).cast("string"))
+        .join(dim, sk, "left")
+        .filter(key < F.coalesce(F.col(thr), default_thr))
+        .drop(sk, thr)
     )
 
 
@@ -188,9 +207,14 @@ def token_budget_sample(
     stratified_quota_sample): the global budget prefix intersected with
     any salt bucket is a prefix of that bucket's own hash order whose
     weight sum is <= budget — so phase 1 keeps each (stratum, salt)
-    bucket's local running sum <= budget (bounding phase-2 input to
-    ~n_salts * budget weight per stratum), and phase 2 re-ranks the
-    survivors per stratum and applies the exact global cumulative cut.
+    bucket's hash-order prefix up to and INCLUDING its first
+    overshooting row (bounding phase-2 input to ~n_salts * (budget +
+    max row weight) per stratum), and phase 2 re-ranks the survivors
+    per stratum and applies the exact global cumulative cut. Keeping
+    the first overshooter matters: every phase-1-dropped row then has
+    bucket (hence global) prefix-before >= budget, so no dropped row
+    can precede a phase-2 winner and phase 2's running sum equals the
+    true global one.
     Only (stratum, id, ord, weight) rides the shuffles; full rows
     rejoin via the winner id semi-join. Rows with weight > budget can
     never be kept. Weights must be non-negative — the decomposition's
@@ -219,9 +243,20 @@ def token_budget_sample(
         .orderBy("_ord", id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Phase 1 keeps each bucket's prefix INCLUDING its first
+    # overshooter (prefix-before-this-row < budget), not just rows
+    # whose own cumulative fits. Any row dropped here has bucket
+    # prefix-before >= budget, hence GLOBAL prefix-before >= budget,
+    # so it can never precede a phase-2 winner — which makes phase 2's
+    # cumulative equal the true global cumulative and the
+    # decomposition exact. The old `_cum <= budget` phase-1 filter
+    # could drop a bucket's first overshooting row while a later row
+    # in global order survived elsewhere, undercounting phase 2's
+    # running sum and keeping rows past the first overshoot
+    # (n_salts-dependent output; ADVICE r5).
     winners = (
         keys.withColumn("_cum", F.sum("_w").over(w1))
-        .filter(F.col("_cum") <= budget)
+        .filter((F.col("_cum") - F.col("_w")) < budget)
         .withColumn("_cum", F.sum("_w").over(w2))
         .filter(F.col("_cum") <= budget)
         .select(id_col)

@@ -245,9 +245,14 @@ def dedup_stream(
             cand = pdf.sort_values(id_col, kind="mergesort").iloc[0]
             if best is None or cand[id_col] < best[id_col]:
                 best = cand
-        state.update((1,))
-        if state_ttl_ms is not None:
-            state.setTimeoutDuration(state_ttl_ms)
+        # Mark seen only when the content was actually emitted once
+        # (or already was): an all-empty-chunk invocation must not
+        # suppress content forever without a single emission
+        # (ADVICE r5).
+        if seen or best is not None:
+            state.update((1,))
+            if state_ttl_ms is not None:
+                state.setTimeoutDuration(state_ttl_ms)
         if best is not None and not seen:
             yield pd.DataFrame([best[cols].to_dict()])
 
@@ -308,7 +313,10 @@ def dedup_stream_tws(
                 cand = pdf.sort_values(id_col, kind="mergesort").iloc[0]
                 if best is None or cand[id_col] < best[id_col]:
                     best = cand
-            self._seen.update((1,))
+            # same guard as dedup_stream: only mark seen when content
+            # was emitted once or already had been (ADVICE r5)
+            if seen or best is not None:
+                self._seen.update((1,))
             if best is not None and not seen:
                 yield pd.DataFrame([best[cols].to_dict()])
 

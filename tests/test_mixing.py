@@ -260,6 +260,36 @@ class TestTokenBudget:
             assert out.exceptAll(ref).count() == 0
             assert ref.exceptAll(out).count() == 0
 
+    def test_two_phase_exact_with_weights_near_budget(self, spark):
+        """ADVICE r5 regression: weights comparable to the budget used
+        to expose an inexact phase-1 cut — a bucket's first
+        overshooting row was dropped from phase 1, so phase 2's
+        cumulative undercounted and kept rows past the first global
+        overshoot (n_salts-dependent output). The decomposition must
+        equal the single-window reference for weights drawn from
+        [1, budget] across several n_salts."""
+        import random
+
+        rnd = random.Random(11)
+        budget = 10
+        rows = [(i, "s", rnd.randint(1, budget)) for i in range(12)] + [
+            (100 + i, "t", rnd.randint(1, budget)) for i in range(12)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, w int")
+        ord_key = F.md5(F.concat(
+            F.col("source"), F.lit(":"), F.col("doc_id").cast("string")))
+        w = (Window.partitionBy("source").orderBy("_o", "doc_id")
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        ref = (df.withColumn("_o", ord_key)
+               .withColumn("_cum", F.sum("w").over(w))
+               .filter(F.col("_cum") <= budget).drop("_o", "_cum"))
+        ref_rows = sorted(r.doc_id for r in ref.collect())
+        for n_salts in (1, 2, 4, 8):
+            out = token_budget_sample(df, "source", "doc_id", "w", budget,
+                                      n_salts=n_salts)
+            assert sorted(r.doc_id for r in out.collect()) == ref_rows, (
+                n_salts)
+
     def test_budget_larger_than_stratum_keeps_all(self, corpus):
         docs = corpus.withColumn("w", F.length("text"))
         out = token_budget_sample(docs, "source", "doc_id", "w", 10**9)
