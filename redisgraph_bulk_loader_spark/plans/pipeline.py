@@ -46,7 +46,15 @@ def _lsh_extra_mappings(
     """Resolve leftover surfaces via LSH against canonical surfaces;
     returns the extra (surface, canonical_id) mappings, or None when
     every surface already resolved."""
-    unresolved = (
+    from ..cache import pin
+
+    # Pinned: the isEmpty() probe below and the LSH prep both evaluate
+    # this frame, and its lineage is the full link pass over the
+    # mention stream — without the pin each consumer re-runs the
+    # mentions scan + broadcast joins. Dim-scale by construction
+    # (distinct unresolved surfaces); released by the caller's
+    # PinScope once the checkpointed mappings exist.
+    unresolved = pin(
         mentions_linked.filter(F.col("subj_cid").isNull())
         .select(F.col("subj_surface").alias("surface"))
         .union(
