@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import List, Optional
 
@@ -74,6 +75,14 @@ class GraphCatalog:
             )
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
+        # Serializes manifest read-modify-write so INDEPENDENT tables
+        # can be written from concurrent driver threads (build_graph
+        # overlaps its stage writes to back-fill task tails, guide-
+        # style): without it the whole-file JSON replace loses one
+        # writer's commit. Concurrent writes to the SAME table remain
+        # the caller's responsibility (snapshot indices are assigned
+        # at write start).
+        self._mlock = threading.Lock()
 
     def _iceberg_ident(self, table: str, idx: int) -> str:
         return (f"{self.iceberg_catalog}.{self.iceberg_namespace}."
@@ -147,9 +156,10 @@ class GraphCatalog:
         if mode not in ("overwrite", "append", "delta"):
             raise ValueError("mode must be 'overwrite', 'append', or 'delta'")
         t0 = time.time()
-        m = self._manifest()
-        entry = m["tables"].get(table, {"snapshots": []})
-        snap_idx = len(entry["snapshots"])
+        with self._mlock:
+            m = self._manifest()
+            entry = m["tables"].get(table, {"snapshots": []})
+            snap_idx = len(entry["snapshots"])
         delta_base = None
         if mode in ("append", "delta"):
             if mode == "append" and entry["snapshots"]:
@@ -202,38 +212,44 @@ class GraphCatalog:
         n = obs.get["n"]
         partitions = self._partition_counts(
             self._snapshot_path(table, snap_idx))
-        entry["snapshots"].append(
-            {
-                "ts": time.time(),
-                "rows": n,
-                "mode": mode,
-                "snapshot": snap_idx,
-                "delta_base": delta_base,
-                "partition_by": partition_by or [],
-                "input_fingerprint": input_fingerprint,
-                # Schema rides the commit log (as in Iceberg metadata):
-                # an empty write can land zero parquet files (AQE
-                # coalesces empty shuffle output to zero tasks), and an
-                # empty table must still be readable.
-                "schema": observed.schema.json(),
-            }
-        )
-        entry["current"] = snap_idx
-        m["tables"][table] = entry
-        if stage:
-            m["lineage"].append(
+        with self._mlock:
+            # re-read fresh: a concurrent writer of ANOTHER table may
+            # have committed since the top-of-write read, and the
+            # whole-file manifest replace must not lose its entry
+            m = self._manifest()
+            entry = m["tables"].get(table, {"snapshots": []})
+            entry["snapshots"].append(
                 {
-                    "stage": stage,
-                    "table": table,
-                    "input_fingerprint": input_fingerprint,
-                    "row_count": n,
-                    "n_partitions": len(partitions),
-                    "partitions": partitions[:256],
-                    "wall_sec": round(wall, 3),
                     "ts": time.time(),
+                    "rows": n,
+                    "mode": mode,
+                    "snapshot": snap_idx,
+                    "delta_base": delta_base,
+                    "partition_by": partition_by or [],
+                    "input_fingerprint": input_fingerprint,
+                    # Schema rides the commit log (as in Iceberg
+                    # metadata): an empty write can land zero parquet
+                    # files (AQE coalesces empty shuffle output to zero
+                    # tasks), and an empty table must still be readable.
+                    "schema": observed.schema.json(),
                 }
             )
-        self._save_manifest(m)
+            entry["current"] = snap_idx
+            m["tables"][table] = entry
+            if stage:
+                m["lineage"].append(
+                    {
+                        "stage": stage,
+                        "table": table,
+                        "input_fingerprint": input_fingerprint,
+                        "row_count": n,
+                        "n_partitions": len(partitions),
+                        "partitions": partitions[:256],
+                        "wall_sec": round(wall, 3),
+                        "ts": time.time(),
+                    }
+                )
+            self._save_manifest(m)
 
     @staticmethod
     def _partition_counts(path: str) -> List[dict]:

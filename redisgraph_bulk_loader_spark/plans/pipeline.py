@@ -448,14 +448,32 @@ def build_graph(
                         _t0 = _time_mod.time()
                         _frame.count()
                         _tick(_nm, _t0)
-                catalog.write("nodes", nodes, partition_by=["label"],
-                              stage="nodes", input_fingerprint=fp)
-                catalog.write("edges", edges, partition_by=["rel_type"],
-                              stage="edges", input_fingerprint=fp)
-                catalog.write("triples", distinct_triples,
-                              stage="triples", input_fingerprint=fp)
-                catalog.write("node_registry", registry,
-                              stage="node_registry", input_fingerprint=fp)
+                # The four table writes are independent jobs over
+                # already-pinned inputs: submit them concurrently so
+                # each job's task tail is back-filled by the next
+                # job's tasks (guide §2.6 overlap; FIFO scheduling
+                # gives exactly the back-fill behavior). The manifest
+                # commit is lock-serialized inside GraphCatalog.write.
+                # pred_counts stays LAST and sequential: its
+                # stage="build_graph" lineage row is the full-resume
+                # completion marker, so it must not commit before the
+                # other tables have landed.
+                from concurrent.futures import ThreadPoolExecutor
+
+                _writes = [
+                    ("nodes", nodes, ["label"], "nodes"),
+                    ("edges", edges, ["rel_type"], "edges"),
+                    ("triples", distinct_triples, None, "triples"),
+                    ("node_registry", registry, None, "node_registry"),
+                ]
+
+                def _w(spec):
+                    tbl, frame, part, stg = spec
+                    catalog.write(tbl, frame, partition_by=part,
+                                  stage=stg, input_fingerprint=fp)
+
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    list(pool.map(_w, _writes))
                 catalog.write("pred_counts", pred_counts,
                               stage="build_graph", input_fingerprint=fp)
             table_of = {

@@ -296,9 +296,11 @@ class TestScalePlanAudits:
 
 class TestCurationPlanShape:
     def test_text_never_rides_dedup_shuffle(self, spark):
-        """curate_corpus: the survivor gate joins on the id column only
-        — no Exchange in the plan may carry the text column, and the
-        scored side's gates are one scan (no join before the semi)."""
+        """curate_corpus (r6 single-scan shape): survivorship is a
+        conditional window-min over the content fingerprint — no
+        Exchange in the plan may carry the text column, no join at all
+        in the exact path, and the gate chain lives in ONE scan (one
+        Window node, one fingerprint partitioning)."""
         from redisgraph_bulk_loader_spark.operators.curation import (
             curate_corpus,
         )
@@ -313,8 +315,14 @@ class TestCurationPlanShape:
         for line in p.splitlines():
             if "Exchange" in line and "text" in line:
                 raise AssertionError(f"text rides a shuffle: {line}")
-        assert "SemiJoin" in p.replace("LeftSemi", "SemiJoin") or \
-            "LeftSemi" in p
+        assert "Window" in p
+        # one gate scan: the old composition re-derived the passers per
+        # consumer (multiple scans of the same source); the exact path
+        # must reference its source exactly once (count only the final
+        # adaptive plan — the executed-plan dump repeats the tree in
+        # its "Initial Plan" section)
+        final = p.split("== Initial Plan ==")[0]
+        assert final.count("Scan ExistingRDD") == 1
 
 
 class TestMixingPlanShape:
