@@ -202,10 +202,40 @@ def _cc_assignments(pairs: DataFrame, id_col: str) -> DataFrame:
     (checkpointed) by the caller — every frame here references it
     several times. The reps join is size-gated on the member count
     (an upper bound on cluster count): at web scale duplicates are
-    30-50% of the corpus, so an unconditional broadcast would OOM."""
+    30-50% of the corpus, so an unconditional broadcast would OOM.
+
+    Size-gated like connected_components itself (r6): at or below
+    ``DRIVER_CC_THRESHOLD`` pairs the whole assignment runs as one
+    driver union-find over the NATIVE ids (collect + Arrow frame) —
+    the distributed path spends ~8 dim-scale shuffle/checkpoint jobs
+    (injective-id checkpoint + count + two mapping joins + CC + reps
+    join) deciding clusters a few thousand pairs define, and the
+    union-by-min union-find returns the identical min-id-per-component
+    answer (python `<` on longs/UTF-8 strings orders exactly like
+    Spark). Above the gate the distributed path is unchanged."""
     from ..canon import connected_components
-    from ..canon.components import injective_node_ids
+    from ..canon.components import (
+        DRIVER_CC_THRESHOLD,
+        _driver_union_find,
+        injective_node_ids,
+    )
     from .endpoints import BROADCAST_THRESHOLD_ROWS
+
+    n_pairs = pairs.count()  # pairs checkpointed — near-free
+    if n_pairs <= DRIVER_CC_THRESHOLD:
+        import pandas as pd
+
+        comp = dict(_driver_union_find(
+            (r["id_a"], r["id_b"]) for r in pairs.collect()
+        ))
+        pdf = pd.DataFrame(
+            sorted(comp.items()), columns=[id_col, "_rep"])
+        spark = pairs.sparkSession
+        id_type = pairs.schema["id_a"].dataType.simpleString()
+        if pdf.empty:
+            pdf = pdf.astype(object)
+        return spark.createDataFrame(
+            pdf, schema=f"{id_col} {id_type}, _rep {id_type}")
 
     members = (
         pairs.select(F.col("id_a").alias(id_col))
