@@ -119,7 +119,15 @@ def ann_self_join_pairs(
     Near-identical directions produce identical sign patterns on every
     plane (signs are scale-invariant), so true near-dups share every
     band and recall on them is ~1; band width trades candidate volume
-    against recall on milder similarity.
+    against recall on milder similarity. MEASURED (tools/ann_recall.py,
+    planted-cosine corpus, committed at plans/r06/ann_recall_table.json):
+    recall at planted cos 0.99 is 0.99 (bits=32) / 0.92 (bits=64);
+    it falls steeply below that — cos 0.95: 0.90 / 0.54, cos 0.9:
+    0.75 / 0.28, cos 0.8: 0.52 / 0.09. This operator is a
+    NEAR-DUPLICATE detector: for mild-similarity retrieval
+    (0.7-0.85) use more/narrower bands or the IVF path, and treat the
+    bits=64 sizing rule as a candidate-volume bound, not a recall
+    guarantee.
 
     SIZE THE BUCKET SPACE TO THE CORPUS: random pairs spread roughly
     uniformly over the 2^(bits/bands) buckets per band, so expected

@@ -813,6 +813,37 @@ class TestIvfAnn:
                    brute_force_topk(emb, queries, k=5).collect())
         assert a == b
 
+    def test_banded_recall_near_identical(self, spark):
+        """VERDICT r5 #3 (measured-recall harness): at the documented
+        bits=64/bands=4 operating point, planted near-identical pairs
+        (cos ~0.99) must be recovered with recall >= 0.85 (measured
+        0.92 at n=100k in plans/r06/ann_recall_table.json; banding
+        probability per pair is n-independent, so the small-n test
+        pins the same quantity). Deterministic: fixed seeds both for
+        the corpus and the operator's hyperplanes."""
+        import sys as _sys
+        sys_path_root = "/root/repo"
+        if sys_path_root not in _sys.path:
+            _sys.path.insert(0, sys_path_root)
+        from tools.ann_recall import planted_corpus
+
+        from redisgraph_bulk_loader_spark.operators.similarity import (
+            ann_self_join_pairs,
+        )
+
+        ids, V, planted = planted_corpus(3000, 400, 64, (0.99,), seed=5)
+        import pandas as pd
+
+        corpus = spark.createDataFrame(
+            pd.DataFrame({"vec_id": ids,
+                          "embedding": [r.tolist() for r in V]}),
+            schema="vec_id long, embedding array<double>")
+        found = {(r["id_a"], r["id_b"]) for r in ann_self_join_pairs(
+            corpus, threshold=0.9, bits=64, bands=4, dim=64).collect()}
+        eligible = [(a, b) for a, b, c in planted if c >= 0.9]
+        recall = sum(p in found for p in eligible) / len(eligible)
+        assert recall >= 0.85, recall
+
     def test_wide_dim_lloyd_full_probe_exact(self, spark):
         """VERDICT r5 #2: the Lloyd centroid update must survive real
         embedding widths. The posexplode + groupBy(cell, pos) mean is
