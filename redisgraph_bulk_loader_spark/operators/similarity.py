@@ -169,14 +169,22 @@ def ann_self_join_pairs(
             ])
         ).alias("_bb"),
     ).select("_id", "_bb.band", "_bb.bucket")
-    # key-only pair dedup BEFORE vectors rejoin (vectors never ride the
-    # band-collision shuffle)
+    # Pair dedup AFTER verification (r6): the candidate stream is the
+    # big data here (~bands * n^2 / 2^(bits/bands) rows — 3.8M at the
+    # 20k-vector bench), and a global key-dedup before the verify is a
+    # full shuffle of that stream. Deduping after the threshold filter
+    # shuffles only the verified pairs (thousands), at the price of
+    # re-scoring pairs that collide in multiple bands — bounded by a
+    # factor of ``bands`` and only paid for genuinely similar pairs
+    # (random same-bucket pairs almost never collide twice: ~1% of the
+    # bench stream). Duplicate candidate rows produce bit-identical
+    # cosines, so the post-filter dropDuplicates keeps the same
+    # (id_a, id_b, cos_sim) set as the old dedup-first shape.
     pairs = (
         banded.alias("a")
         .join(banded.alias("b"), ["band", "bucket"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
     )
     return (
         pairs.join(base.select(F.col("_id").alias("id_a"),
@@ -185,6 +193,7 @@ def ann_self_join_pairs(
                           F.col("_v").alias("_vb")), "id_b")
         .withColumn("cos_sim", cosine(F.col("_va"), F.col("_vb")))
         .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "cos_sim")
     )
 
